@@ -1,0 +1,23 @@
+"""Test harness config: run JAX on CPU with an 8-device virtual mesh.
+
+Real-TPU execution is exercised by bench.py / __graft_entry__.py; unit tests
+must be hermetic and fast, and the multi-chip sharding tests need >1 device,
+so we force the host platform with 8 virtual devices (the same mechanism the
+driver uses for dryrun_multichip).
+
+Note: the environment may pre-import jax with a TPU plugin selected via
+JAX_PLATFORMS (sitecustomize), so we override through jax.config as well as
+the environment.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
