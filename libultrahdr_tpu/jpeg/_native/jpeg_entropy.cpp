@@ -1,0 +1,400 @@
+// Baseline JPEG Huffman entropy codec (host side of the TPU JPEG pipeline).
+//
+// The TPU computes batched DCT/quantization (jpeg/dct.py); this module does
+// the inherently sequential bit-level work: interleaved-scan Huffman encode
+// and decode with byte stuffing and restart-marker support.  It replaces the
+// role libjpeg's jchuff.c/jdhuff.c play for the reference
+// (/root/reference/lib/src/jpegencoderhelper.cpp, jpegdecoderhelper.cpp),
+// implemented from the ITU-T T.81 spec (Annex C canonical codes, F.1.2
+// encoding procedure, F.2.2 decoding procedure).
+//
+// Coefficients cross the boundary as zigzag-ordered int16 blocks laid out
+// (blocks_down, blocks_across, 64) per component, padded to full MCUs.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Canonical Huffman code derivation (T.81 Annex C)
+
+struct EncTable {
+  uint32_t code[256];
+  uint8_t size[256];
+};
+
+struct DecTable {
+  int32_t mincode[17];
+  int32_t maxcode[18];  // maxcode[17] sentinel
+  int32_t valptr[17];
+  uint8_t values[256];
+  // fast lookup for first 8 bits: symbol and length (0 = miss)
+  uint8_t look_sym[256];
+  uint8_t look_len[256];
+};
+
+void build_enc_table(const uint8_t* bits, const uint8_t* vals, EncTable* t) {
+  std::memset(t->size, 0, sizeof(t->size));
+  uint32_t code = 0;
+  int k = 0;
+  for (int len = 1; len <= 16; len++) {
+    for (int i = 0; i < bits[len - 1]; i++) {
+      t->code[vals[k]] = code;
+      t->size[vals[k]] = (uint8_t)len;
+      code++;
+      k++;
+    }
+    code <<= 1;
+  }
+}
+
+void build_dec_table(const uint8_t* bits, const uint8_t* vals, DecTable* t) {
+  int code = 0, k = 0;
+  std::memcpy(t->values, vals, 256);
+  for (int len = 1; len <= 16; len++) {
+    if (bits[len - 1] > 0) {
+      t->valptr[len] = k;
+      t->mincode[len] = code;
+      k += bits[len - 1];
+      code += bits[len - 1];
+      t->maxcode[len] = code - 1;
+    } else {
+      t->maxcode[len] = -1;
+    }
+    code <<= 1;
+  }
+  t->maxcode[17] = 0x7FFFFFFF;
+  // 8-bit lookahead
+  std::memset(t->look_len, 0, sizeof(t->look_len));
+  int c = 0;
+  k = 0;
+  for (int len = 1; len <= 8; len++) {
+    for (int i = 0; i < bits[len - 1]; i++, k++, c++) {
+      // all 8-bit sequences with this prefix decode to vals[k]
+      int lo = c << (8 - len);
+      int hi = lo + (1 << (8 - len));
+      for (int j = lo; j < hi; j++) {
+        t->look_sym[j] = vals[k];
+        t->look_len[j] = (uint8_t)len;
+      }
+    }
+    c <<= 1;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Bit writer with 0xFF stuffing
+
+struct BitWriter {
+  uint8_t* out;
+  int64_t cap;
+  int64_t pos;
+  uint64_t acc;   // bits accumulate in high-order positions
+  int nbits;
+  bool overflow;
+
+  void put(uint32_t code, int size) {
+    acc |= (uint64_t)code << (64 - nbits - size);
+    nbits += size;
+    while (nbits >= 8) {
+      uint8_t b = (uint8_t)(acc >> 56);
+      emit(b);
+      if (b == 0xFF) emit(0x00);
+      acc <<= 8;
+      nbits -= 8;
+    }
+  }
+
+  void emit(uint8_t b) {
+    if (pos >= cap) {
+      overflow = true;
+      return;
+    }
+    out[pos++] = b;
+  }
+
+  void flush_align() {  // pad with 1-bits to byte boundary (T.81 F.1.2.3)
+    if (nbits > 0) {
+      int pad = 8 - (nbits & 7);
+      if (pad < 8) put((1u << pad) - 1, pad);
+      // put() drained whole bytes; if exactly aligned nothing remains
+    }
+    acc = 0;
+    nbits = 0;
+  }
+
+  void marker(uint8_t m) {  // write a marker without stuffing
+    emit(0xFF);
+    emit(m);
+  }
+};
+
+inline int bit_size(int v) {
+  int a = v < 0 ? -v : v;
+  int n = 0;
+  while (a) {
+    a >>= 1;
+    n++;
+  }
+  return n;
+}
+
+struct CompMeta {
+  int32_t bw, bh, h, v, dc_tbl, ac_tbl;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Encode one interleaved baseline scan.  Returns bytes written, or -1 on
+// overflow, -2 on bad args.  Emits only entropy-coded data (+RST markers if
+// restart_interval > 0); SOS header/EOI are the caller's job.
+int64_t uhdr_encode_scan(const int16_t** coeffs, const int32_t* comp_meta,
+                         int num_comps, int mcus_w, int mcus_h,
+                         int restart_interval, const uint8_t* dc_bits,
+                         const uint8_t* dc_vals, const uint8_t* ac_bits,
+                         const uint8_t* ac_vals, uint8_t* out,
+                         int64_t capacity) {
+  if (num_comps < 1 || num_comps > 4) return -2;
+  EncTable dc_t[4], ac_t[4];
+  for (int i = 0; i < 4; i++) {
+    build_enc_table(dc_bits + 16 * i, dc_vals + 256 * i, &dc_t[i]);
+    build_enc_table(ac_bits + 16 * i, ac_vals + 256 * i, &ac_t[i]);
+  }
+  const CompMeta* cm = (const CompMeta*)comp_meta;
+
+  BitWriter w{out, capacity, 0, 0, 0, false};
+  int last_dc[4] = {0, 0, 0, 0};
+  int rst_idx = 0;
+  int mcus_since_restart = 0;
+
+  for (int my = 0; my < mcus_h; my++) {
+    for (int mx = 0; mx < mcus_w; mx++) {
+      if (restart_interval > 0 && mcus_since_restart == restart_interval) {
+        w.flush_align();
+        w.marker((uint8_t)(0xD0 + rst_idx));
+        rst_idx = (rst_idx + 1) & 7;
+        mcus_since_restart = 0;
+        for (int i = 0; i < 4; i++) last_dc[i] = 0;
+      }
+      for (int ci = 0; ci < num_comps; ci++) {
+        const CompMeta& c = cm[ci];
+        const EncTable& dct = dc_t[c.dc_tbl];
+        const EncTable& act = ac_t[c.ac_tbl];
+        for (int by = 0; by < c.v; by++) {
+          for (int bx = 0; bx < c.h; bx++) {
+            int row = my * c.v + by;
+            int col = mx * c.h + bx;
+            const int16_t* blk = coeffs[ci] + ((int64_t)row * c.bw + col) * 64;
+            // DC
+            int diff = blk[0] - last_dc[ci];
+            last_dc[ci] = blk[0];
+            int s = bit_size(diff);
+            w.put(dct.code[s], dct.size[s]);
+            if (s) {
+              int bits = diff < 0 ? diff + (1 << s) - 1 : diff;
+              w.put((uint32_t)bits & ((1u << s) - 1), s);
+            }
+            // AC
+            int run = 0;
+            for (int kk = 1; kk < 64; kk++) {
+              int v = blk[kk];
+              if (v == 0) {
+                run++;
+                continue;
+              }
+              while (run > 15) {
+                w.put(act.code[0xF0], act.size[0xF0]);  // ZRL
+                run -= 16;
+              }
+              int sz = bit_size(v);
+              int sym = (run << 4) | sz;
+              w.put(act.code[sym], act.size[sym]);
+              int bits = v < 0 ? v + (1 << sz) - 1 : v;
+              w.put((uint32_t)bits & ((1u << sz) - 1), sz);
+              run = 0;
+            }
+            if (run > 0) {
+              w.put(act.code[0x00], act.size[0x00]);  // EOB
+            }
+          }
+        }
+      }
+      mcus_since_restart++;
+    }
+  }
+  w.flush_align();
+  if (w.overflow) return -1;
+  return w.pos;
+}
+
+namespace {
+
+// Bit reader over stuffed entropy data.  Stops at any marker except RSTn
+// (which the MCU loop consumes explicitly).
+struct BitReader {
+  const uint8_t* data;
+  int64_t size;
+  int64_t pos;
+  uint64_t acc;
+  int nbits;
+  bool truncated;
+
+  // Load more bits; at markers feed zero bits (T.81 F.2.2.5 behavior for
+  // truncated data keeps decode bounded).
+  void fill() {
+    while (nbits <= 56) {
+      if (pos >= size) {
+        truncated = true;
+        nbits += 8;  // zero fill
+        continue;
+      }
+      uint8_t b = data[pos];
+      if (b == 0xFF) {
+        if (pos + 1 < size && data[pos + 1] == 0x00) {
+          pos += 2;
+          acc |= (uint64_t)0xFF << (56 - nbits);
+          nbits += 8;
+        } else {
+          // a real marker: stop feeding (zero fill)
+          truncated = true;
+          nbits += 8;
+        }
+      } else {
+        pos++;
+        acc |= (uint64_t)b << (56 - nbits);
+        nbits += 8;
+      }
+    }
+  }
+
+  inline uint32_t peek(int n) {
+    if (nbits < n) fill();
+    return (uint32_t)(acc >> (64 - n));
+  }
+
+  inline void skip(int n) {
+    acc <<= n;
+    nbits -= n;
+  }
+
+  inline uint32_t get(int n) {
+    if (n == 0) return 0;
+    uint32_t v = peek(n);
+    skip(n);
+    return v;
+  }
+
+  void byte_align_and_sync() {
+    // discard partial byte state and resync position to the byte stream
+    acc = 0;
+    nbits = 0;
+  }
+};
+
+inline int huff_extend(int v, int s) {
+  return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+}
+
+int decode_symbol(BitReader& br, const DecTable& t) {
+  uint32_t look = br.peek(8);
+  if (t.look_len[look]) {
+    br.skip(t.look_len[look]);
+    return t.look_sym[look];
+  }
+  // slow path: lengths 9..16
+  int code = 0;
+  int len = 0;
+  code = (int)br.peek(16);
+  // walk lengths
+  int c = 0;
+  for (len = 1; len <= 16; len++) {
+    c = code >> (16 - len);
+    if (t.maxcode[len] >= 0 && c <= t.maxcode[len] && c >= t.mincode[len]) {
+      br.skip(len);
+      return t.values[t.valptr[len] + (c - t.mincode[len])];
+    }
+  }
+  return -1;  // invalid code
+}
+
+}  // namespace
+
+// Decode one interleaved baseline scan into zigzag coeff arrays (padded to
+// full MCUs, caller-allocated and zero-initialized).  Returns bytes consumed
+// from `data` (pointing at the byte after the last entropy byte consumed),
+// or -1 on invalid code, -2 on bad args.
+int64_t uhdr_decode_scan(const uint8_t* data, int64_t size,
+                         int16_t** out_coeffs, const int32_t* comp_meta,
+                         int num_comps, int mcus_w, int mcus_h,
+                         int restart_interval, const uint8_t* dc_bits,
+                         const uint8_t* dc_vals, const uint8_t* ac_bits,
+                         const uint8_t* ac_vals) {
+  if (num_comps < 1 || num_comps > 4) return -2;
+  DecTable dc_t[4], ac_t[4];
+  for (int i = 0; i < 4; i++) {
+    build_dec_table(dc_bits + 16 * i, dc_vals + 256 * i, &dc_t[i]);
+    build_dec_table(ac_bits + 16 * i, ac_vals + 256 * i, &ac_t[i]);
+  }
+  const CompMeta* cm = (const CompMeta*)comp_meta;
+
+  BitReader br{data, size, 0, 0, 0, false};
+  int last_dc[4] = {0, 0, 0, 0};
+  int mcus_since_restart = 0;
+
+  for (int my = 0; my < mcus_h; my++) {
+    for (int mx = 0; mx < mcus_w; mx++) {
+      if (restart_interval > 0 && mcus_since_restart == restart_interval) {
+        br.byte_align_and_sync();
+        // expect RSTn marker
+        if (br.pos + 1 < size && data[br.pos] == 0xFF &&
+            data[br.pos + 1] >= 0xD0 && data[br.pos + 1] <= 0xD7) {
+          br.pos += 2;
+        }
+        br.truncated = false;
+        mcus_since_restart = 0;
+        for (int i = 0; i < 4; i++) last_dc[i] = 0;
+      }
+      for (int ci = 0; ci < num_comps; ci++) {
+        const CompMeta& c = cm[ci];
+        const DecTable& dct = dc_t[c.dc_tbl];
+        const DecTable& act = ac_t[c.ac_tbl];
+        for (int by = 0; by < c.v; by++) {
+          for (int bx = 0; bx < c.h; bx++) {
+            int row = my * c.v + by;
+            int col = mx * c.h + bx;
+            int16_t* blk = out_coeffs[ci] + ((int64_t)row * c.bw + col) * 64;
+            int s = decode_symbol(br, dct);
+            if (s < 0) return -1;
+            int diff = s ? huff_extend((int)br.get(s), s) : 0;
+            last_dc[ci] += diff;
+            blk[0] = (int16_t)last_dc[ci];
+            int kk = 1;
+            while (kk < 64) {
+              int rs = decode_symbol(br, act);
+              if (rs < 0) return -1;
+              int r = rs >> 4, sz = rs & 15;
+              if (sz == 0) {
+                if (r == 15) {
+                  kk += 16;  // ZRL
+                  continue;
+                }
+                break;  // EOB
+              }
+              kk += r;
+              if (kk > 63) return -1;
+              blk[kk] = (int16_t)huff_extend((int)br.get(sz), sz);
+              kk++;
+            }
+          }
+        }
+      }
+      mcus_since_restart++;
+    }
+  }
+  return br.pos;
+}
+
+}  // extern "C"

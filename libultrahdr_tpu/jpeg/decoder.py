@@ -1,0 +1,284 @@
+"""Baseline JPEG decoder: header parse + host Huffman + TPU IDCT.
+
+Replaces JpegDecoderHelper (/root/reference/lib/src/jpegdecoderhelper.cpp):
+parse-only mode (dims + APPn marker extraction: EXIF/XMP/ICC/ISO 21496-1,
+jpegdecoderhelper.cpp:32-44,119-139), decode-to-YCbCr-planes mode (raw
+subsampled planes, full-range, :468-535) and decode-to-RGBA mode
+(fancy chroma upsample + Rec.601 conversion like libjpeg's JCS_EXT_RGBA
+path, :353-375).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import UhdrError, UhdrErrorCode, invalid_param, unsupported
+from ..types import ColorGamut, ColorRange, ColorTransfer, ImgFmt, RawImage
+from . import native
+from .dct import inverse_plane
+from .tables import ZIGZAG_ORDER, HuffTable
+
+MIN_WIDTH = MIN_HEIGHT = 8
+MAX_DIMENSION = 8192
+
+EXIF_ID = b"Exif\x00\x00"
+XMP_NS = b"http://ns.adobe.com/xap/1.0/\x00"
+ICC_SIG = b"ICC_PROFILE\x00"
+ISO_NS = b"urn:iso:std:iso:ts:21496:-1\x00"
+
+
+@dataclasses.dataclass
+class ComponentInfo:
+    comp_id: int
+    h: int
+    v: int
+    qtbl: int
+    dc_tbl: int = 0
+    ac_tbl: int = 0
+
+
+@dataclasses.dataclass
+class JpegInfo:
+    width: int = 0
+    height: int = 0
+    num_components: int = 0
+    components: list = dataclasses.field(default_factory=list)
+    qtables: dict = dataclasses.field(default_factory=dict)
+    dc_tables: dict = dataclasses.field(default_factory=dict)
+    ac_tables: dict = dataclasses.field(default_factory=dict)
+    restart_interval: int = 0
+    progressive: bool = False
+    scan_offset: int = 0
+    exif: bytes | None = None
+    exif_offset: int = -1
+    xmp: bytes | None = None
+    icc: bytes | None = None
+    iso: bytes | None = None
+
+
+def _u16(data: bytes, pos: int) -> int:
+    return (data[pos] << 8) | data[pos + 1]
+
+
+def parse_jpeg(data: bytes, parse_only: bool = False) -> JpegInfo:
+    """Walk segments up to (and including) SOS.  Marker payload extraction
+    mirrors jpeg_extract_marker_payload (first matching marker wins; the
+    stored blob includes the signature prefix, and exif_offset is the
+    payload's offset in the source buffer)."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR, "missing SOI")
+    info = JpegInfo()
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                            f"bad marker alignment at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = _u16(data, pos + 2)
+        payload = data[pos + 4: pos + 2 + seglen]
+        payload_off = pos + 4
+        if marker == 0xC0 or marker == 0xC1 or marker == 0xC2:
+            info.progressive = marker == 0xC2
+            info.height = _u16(payload, 1)
+            info.width = _u16(payload, 3)
+            nc = payload[5]
+            info.num_components = nc
+            q = 6
+            for _ in range(nc):
+                cid = payload[q]
+                hv = payload[q + 1]
+                info.components.append(
+                    ComponentInfo(cid, hv >> 4, hv & 15, payload[q + 2]))
+                q += 3
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise unsupported(f"unsupported SOF marker 0x{marker:02X}")
+        elif marker == 0xDB:  # DQT
+            q = 0
+            while q < len(payload):
+                pq, tq = payload[q] >> 4, payload[q] & 15
+                q += 1
+                if pq == 0:
+                    zz = np.frombuffer(payload[q:q + 64], np.uint8).astype(np.int32)
+                    q += 64
+                else:
+                    zz = np.frombuffer(payload[q:q + 128], ">u2").astype(np.int32)
+                    q += 128
+                nat = np.zeros(64, np.int32)
+                nat[ZIGZAG_ORDER] = zz  # zigzag payload -> natural order
+                info.qtables[tq] = nat
+        elif marker == 0xC4:  # DHT
+            q = 0
+            while q < len(payload):
+                tc, th = payload[q] >> 4, payload[q] & 15
+                bits = list(payload[q + 1:q + 17])
+                nv = sum(bits)
+                vals = list(payload[q + 17:q + 17 + nv])
+                tbl = HuffTable(bits, vals)
+                (info.ac_tables if tc else info.dc_tables)[th] = tbl
+                q += 17 + nv
+        elif marker == 0xDD:  # DRI
+            info.restart_interval = _u16(payload, 0)
+        elif marker == 0xE1:  # APP1: EXIF or XMP
+            if info.exif is None and payload.startswith(EXIF_ID):
+                info.exif = payload
+                info.exif_offset = payload_off
+            elif info.xmp is None and payload.startswith(XMP_NS):
+                info.xmp = payload
+        elif marker == 0xE2:  # APP2: ICC or ISO 21496-1
+            if info.icc is None and payload.startswith(ICC_SIG):
+                info.icc = payload
+            elif info.iso is None and payload.startswith(ISO_NS):
+                info.iso = payload
+        elif marker == 0xDA:  # SOS
+            nc = payload[0]
+            q = 1
+            for _ in range(nc):
+                cid = payload[q]
+                for comp in info.components:
+                    if comp.comp_id == cid:
+                        comp.dc_tbl = payload[q + 1] >> 4
+                        comp.ac_tbl = payload[q + 1] & 15
+                q += 2
+            info.scan_offset = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if info.width == 0 and not parse_only:
+        raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR, "no SOF found")
+    return info
+
+
+def _validate(info: JpegInfo):
+    if not (MIN_WIDTH <= info.width <= MAX_DIMENSION
+            and MIN_HEIGHT <= info.height <= MAX_DIMENSION):
+        raise UhdrError(
+            UhdrErrorCode.UHDR_CODEC_UNSUPPORTED_FEATURE,
+            f"jpeg dimensions {info.width}x{info.height} outside "
+            f"[{MIN_WIDTH}..{MAX_DIMENSION}]")
+    if info.progressive:
+        raise unsupported("progressive jpeg decode not yet supported")
+    if info.num_components not in (1, 3):
+        raise unsupported(f"unsupported component count {info.num_components}")
+
+
+def get_output_sampling_format(info: JpegInfo) -> ImgFmt:
+    """getOutputSamplingFormat (jpegdecoderhelper.cpp:141-167)."""
+    if info.num_components == 1:
+        return ImgFmt.YUV400
+    h = [c.h for c in info.components]
+    v = [c.v for c in info.components]
+    if h[1] != h[2] or v[1] != v[2] or h[1] != 1 or v[1] != 1:
+        raise unsupported("unsupported chroma sampling")
+    key = (h[0], v[0])
+    table = {(1, 1): ImgFmt.YUV444, (1, 2): ImgFmt.YUV440,
+             (2, 1): ImgFmt.YUV422, (2, 2): ImgFmt.YUV420,
+             (4, 1): ImgFmt.YUV411, (4, 2): ImgFmt.YUV410}
+    if key not in table:
+        raise unsupported(f"unsupported luma sampling {key}")
+    return table[key]
+
+
+def decode_to_planes(data: bytes, info: JpegInfo | None = None):
+    """Decode to subsampled YCbCr planes (DECODE_TO_YCBCR mode).
+
+    Returns (planes list of uint8 np arrays, fmt)."""
+    if info is None:
+        info = parse_jpeg(data)
+    _validate(info)
+    fmt = get_output_sampling_format(info)
+    hmax = max(c.h for c in info.components)
+    vmax = max(c.v for c in info.components)
+    mcus_w = -(-info.width // (8 * hmax))
+    mcus_h = -(-info.height // (8 * vmax))
+    comps = [{"h": c.h, "v": c.v, "dc_tbl": c.dc_tbl, "ac_tbl": c.ac_tbl}
+             for c in info.components]
+    dc_tables = [info.dc_tables.get(i) for i in range(4)]
+    ac_tables = [info.ac_tables.get(i) for i in range(4)]
+    coeff_arrays, _ = native.decode_scan(
+        data[info.scan_offset:], comps, mcus_w, mcus_h, dc_tables, ac_tables,
+        info.restart_interval)
+    planes = []
+    for i, c in enumerate(info.components):
+        q = info.qtables[c.qtbl]
+        # stored plane dims: ceil(w*h_i/hmax) x ceil(h*v_i/vmax)
+        pw = -(-info.width * c.h // hmax)
+        ph = -(-info.height * c.v // vmax)
+        plane = np.asarray(inverse_plane(jnp.asarray(coeff_arrays[i]), q, ph, pw))
+        planes.append(plane)
+    return planes, fmt
+
+
+@functools.partial(jax.jit, static_argnames=("fmt_key", "h", "w"))
+def _ycc_to_rgb(y, cb, cr, fmt_key: str, h: int, w: int):
+    """Chroma upsample (libjpeg h2v1/h2v2 fancy triangular filter) +
+    full-range Rec.601 YCbCr->RGB (jdcolor.c constants)."""
+    yf = y.astype(jnp.float32)
+    cbf = cb.astype(jnp.float32)
+    crf = cr.astype(jnp.float32)
+
+    def up_h(c):
+        # h2 fancy: out[2i] = (3*c[i] + c[i-1] + 2) >> 2 etc (approximated
+        # in float: 0.75/0.25 weights, edge clamped)
+        left = jnp.concatenate([c[:, :1], c[:, :-1]], axis=1)
+        right = jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+        a = 0.75 * c + 0.25 * left
+        b = 0.75 * c + 0.25 * right
+        out = jnp.stack([a, b], axis=-1).reshape(c.shape[0], -1)
+        return out
+
+    def up_v(c):
+        upr = jnp.concatenate([c[:1], c[:-1]], axis=0)
+        dnr = jnp.concatenate([c[1:], c[-1:]], axis=0)
+        a = 0.75 * c + 0.25 * upr
+        b = 0.75 * c + 0.25 * dnr
+        out = jnp.stack([a, b], axis=1).reshape(-1, c.shape[1])
+        return out
+
+    if fmt_key in ("420", "410"):
+        cbf, crf = up_v(cbf), up_v(crf)
+    if fmt_key == "440":
+        cbf, crf = up_v(cbf), up_v(crf)
+    if fmt_key in ("420", "422"):
+        cbf, crf = up_h(cbf), up_h(crf)
+    if fmt_key in ("411", "410"):
+        cbf, crf = up_h(up_h(cbf)), up_h(up_h(crf))
+    cbf = cbf[:h, :w] - 128.0
+    crf = crf[:h, :w] - 128.0
+    yf = yf[:h, :w]
+    r = yf + 1.402 * crf
+    g = yf - 0.344136286 * cbf - 0.714136286 * crf
+    b = yf + 1.772 * cbf
+    rgb = jnp.stack([r, g, b])
+    return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
+
+
+def decode_to_rgba(data: bytes, info: JpegInfo | None = None) -> np.ndarray:
+    """Decode to packed RGBA8888 uint32 (H, W) (DECODE_TO_RGB_CS mode,
+    RGBA output like libjpeg-turbo JCS_EXT_RGBA, alpha=255)."""
+    if info is None:
+        info = parse_jpeg(data)
+    planes, fmt = decode_to_planes(data, info)
+    h, w = info.height, info.width
+    if fmt == ImgFmt.YUV400:
+        y = planes[0].astype(np.uint32)
+        packed = y | (y << 8) | (y << 16) | np.uint32(0xFF000000)
+        return packed
+    key = {ImgFmt.YUV444: "444", ImgFmt.YUV440: "440", ImgFmt.YUV422: "422",
+           ImgFmt.YUV420: "420", ImgFmt.YUV411: "411",
+           ImgFmt.YUV410: "410"}[fmt]
+    rgb = np.asarray(_ycc_to_rgb(jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+                                 jnp.asarray(planes[2]), key, h, w))
+    packed = (rgb[0].astype(np.uint32) | (rgb[1].astype(np.uint32) << 8)
+              | (rgb[2].astype(np.uint32) << 16) | np.uint32(0xFF000000))
+    return packed

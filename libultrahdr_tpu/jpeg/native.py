@@ -1,0 +1,131 @@
+"""Build + ctypes bindings for the native entropy codec.
+
+Compiles jpeg_entropy.cpp with g++ on first use (cached by source hash under
+~/.cache/libultrahdr_tpu).  A pure-numpy fallback is intentionally absent:
+the native toolchain is a hard dependency of this framework's runtime, like
+libjpeg is for the reference.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = pathlib.Path(__file__).parent / "_native" / "jpeg_entropy.cpp"
+_LOCK = threading.Lock()
+_LIB = None
+
+
+def _build() -> pathlib.Path:
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = pathlib.Path(os.environ.get(
+        "UHDR_TPU_CACHE", os.path.expanduser("~/.cache/libultrahdr_tpu")))
+    cache.mkdir(parents=True, exist_ok=True)
+    so = cache / f"jpeg_entropy_{tag}.so"
+    if not so.exists():
+        tmp = so.with_suffix(".so.tmp")
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             str(_SRC), "-o", str(tmp)],
+            check=True, capture_output=True)
+        os.replace(tmp, so)
+    return so
+
+
+def get_lib():
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            lib = ctypes.CDLL(str(_build()))
+            lib.uhdr_encode_scan.restype = ctypes.c_int64
+            lib.uhdr_encode_scan.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_decode_scan.restype = ctypes.c_int64
+            lib.uhdr_decode_scan.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p]
+            _LIB = lib
+    return _LIB
+
+
+def _table_blobs(dc_tables, ac_tables):
+    """Pack up to 4 HuffTables each into flat bits[4*16] / vals[4*256]."""
+    dc_bits = np.zeros((4, 16), np.uint8)
+    dc_vals = np.zeros((4, 256), np.uint8)
+    ac_bits = np.zeros((4, 16), np.uint8)
+    ac_vals = np.zeros((4, 256), np.uint8)
+    for i, t in enumerate(dc_tables):
+        if t is None:
+            continue
+        dc_bits[i] = np.asarray(t.bits, np.uint8)
+        dc_vals[i, :len(t.values)] = np.asarray(t.values, np.uint8)
+    for i, t in enumerate(ac_tables):
+        if t is None:
+            continue
+        ac_bits[i] = np.asarray(t.bits, np.uint8)
+        ac_vals[i, :len(t.values)] = np.asarray(t.values, np.uint8)
+    return dc_bits, dc_vals, ac_bits, ac_vals
+
+
+def encode_scan(comps, mcus_w: int, mcus_h: int, dc_tables, ac_tables,
+                restart_interval: int = 0) -> bytes:
+    """comps: list of dicts {coeffs: (bh, bw, 64) int16 C-contig,
+    h, v, dc_tbl, ac_tbl}."""
+    lib = get_lib()
+    n = len(comps)
+    arrs = [np.ascontiguousarray(c["coeffs"], np.int16) for c in comps]
+    ptrs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in arrs])
+    meta = np.zeros((n, 6), np.int32)
+    for i, c in enumerate(comps):
+        bh, bw = arrs[i].shape[:2]
+        meta[i] = [bw, bh, c["h"], c["v"], c["dc_tbl"], c["ac_tbl"]]
+    dcb, dcv, acb, acv = _table_blobs(dc_tables, ac_tables)
+    # worst case: every coefficient a max-length code; generous bound
+    cap = sum(a.size for a in arrs) * 4 + 65536
+    out = np.empty(cap, np.uint8)
+    written = lib.uhdr_encode_scan(
+        ptrs, meta.ctypes.data, n, mcus_w, mcus_h, restart_interval,
+        dcb.ctypes.data, dcv.ctypes.data, acb.ctypes.data, acv.ctypes.data,
+        out.ctypes.data, cap)
+    if written < 0:
+        raise RuntimeError(f"entropy encode failed: {written}")
+    return out[:written].tobytes()
+
+
+def decode_scan(data: bytes, comps, mcus_w: int, mcus_h: int, dc_tables,
+                ac_tables, restart_interval: int = 0):
+    """Returns list of (bh, bw, 64) int16 coefficient arrays (MCU-padded)."""
+    lib = get_lib()
+    n = len(comps)
+    outs = []
+    for c in comps:
+        bh = mcus_h * c["v"]
+        bw = mcus_w * c["h"]
+        outs.append(np.zeros((bh, bw, 64), np.int16))
+    ptrs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in outs])
+    meta = np.zeros((n, 6), np.int32)
+    for i, c in enumerate(comps):
+        meta[i] = [outs[i].shape[1], outs[i].shape[0], c["h"], c["v"],
+                   c["dc_tbl"], c["ac_tbl"]]
+    dcb, dcv, acb, acv = _table_blobs(dc_tables, ac_tables)
+    buf = np.frombuffer(data, np.uint8)
+    consumed = lib.uhdr_decode_scan(
+        buf.ctypes.data, len(data), ptrs, meta.ctypes.data, n,
+        mcus_w, mcus_h, restart_interval,
+        dcb.ctypes.data, dcv.ctypes.data, acb.ctypes.data, acv.ctypes.data)
+    if consumed < 0:
+        raise ValueError(f"entropy decode failed: {consumed}")
+    return outs, int(consumed)
