@@ -1,0 +1,564 @@
+"""JPEG_R codec orchestration: the 5 encode scenarios, decode, probe.
+
+Re-design of class JpegR (/root/reference/lib/src/jpegr.cpp):
+encodeJPEGR API-0..4 (:173-428), decodeJPEGR (:1384-1446), getJPEGRInfo
+(:1332-1345), extractPrimaryImageAndGainMap (:1701-1768), toneMap /
+generateGainMap / applyGainMap via the fused ops pipelines, and the
+raw-input YCbCr conversions (gainmapmath.cpp:1291-1501, jpegr.cpp:430-513).
+
+All pixel math runs as jit-compiled XLA programs; JPEG entropy coding and
+container assembly run on host (jpeg/, container/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import container
+from .container import icc as icc_mod
+from .container import iso21496, jpegr_container, segments, xmp
+from .errors import UhdrError, UhdrErrorCode, invalid_param, unsupported
+from .jpeg import JpegEncoder, decode_to_planes, decode_to_rgba, parse_jpeg
+from .ops import apply as apply_ops
+from .ops import colors, gainmap as gainmap_ops, idw, pixel, tonemap as tonemap_ops
+from .types import (ColorGamut, ColorRange, ColorTransfer, CompressedImage,
+                    EncPreset, GainMapMetadata, HDR_INPUT_FORMATS, ImgFmt,
+                    RGB_FORMATS, RawImage, alloc_raw_image)
+
+JPEGR_VERSION = "1.0"
+
+# Library defaults (jpegr.h:27-47)
+DEFAULT_MAP_DIMENSION_SCALE_FACTOR = 1
+DEFAULT_MAP_COMPRESS_QUALITY = 95
+DEFAULT_USE_MULTI_CHANNEL_GAINMAP = True
+DEFAULT_GAINMAP_GAMMA = 1.0
+DEFAULT_ENC_PRESET = EncPreset.BEST_QUALITY
+DEFAULT_TARGET_DISP_PEAK_BRIGHTNESS = -1.0
+
+
+def _to_np(x):
+    return np.asarray(x)
+
+
+class JpegR:
+    """Codec instance carrying the encoder tuning knobs (jpegr.cpp:135-148)."""
+
+    def __init__(self, map_dimension_scale_factor: int = DEFAULT_MAP_DIMENSION_SCALE_FACTOR,
+                 map_compress_quality: int = DEFAULT_MAP_COMPRESS_QUALITY,
+                 use_multi_channel_gainmap: bool = DEFAULT_USE_MULTI_CHANNEL_GAINMAP,
+                 gamma: float = DEFAULT_GAINMAP_GAMMA,
+                 preset: EncPreset = DEFAULT_ENC_PRESET,
+                 min_content_boost: float | None = None,
+                 max_content_boost: float | None = None,
+                 target_disp_peak_brightness: float = DEFAULT_TARGET_DISP_PEAK_BRIGHTNESS,
+                 write_iso: bool | None = None, write_xmp: bool | None = None):
+        self.map_dimension_scale_factor = int(map_dimension_scale_factor)
+        self.map_compress_quality = int(map_compress_quality)
+        self.use_multi_channel_gainmap = bool(use_multi_channel_gainmap)
+        self.gamma = float(gamma)
+        self.preset = EncPreset(preset)
+        self.min_content_boost = min_content_boost
+        self.max_content_boost = max_content_boost
+        self.target_disp_peak_brightness = float(target_disp_peak_brightness)
+        self.write_iso = jpegr_container.WRITE_ISO_METADATA if write_iso is None else write_iso
+        self.write_xmp = jpegr_container.WRITE_XMP_METADATA if write_xmp is None else write_xmp
+
+    # ------------------------------------------------------------------
+    # tone mapping (jpegr.cpp:1853-2090)
+
+    def tone_map(self, hdr: RawImage) -> RawImage:
+        fmt = ImgFmt(hdr.fmt)
+        if fmt not in HDR_INPUT_FORMATS:
+            raise unsupported(f"tonemap expects an hdr intent format, got {fmt}")
+        hdr_vals = pixel.unpack(hdr)
+        if fmt == ImgFmt.P010:
+            y, u, v = tonemap_ops.tonemap_to_yuv(
+                hdr_vals, fmt, ColorGamut(hdr.cg), ColorTransfer(hdr.ct),
+                out_yuv420=True)
+            sdr = RawImage(ImgFmt.YUV420, ColorGamut.DISPLAY_P3, ColorTransfer.SRGB,
+                           ColorRange.FULL, hdr.w, hdr.h,
+                           [_to_np(y), _to_np(u), _to_np(v)])
+        elif fmt == ImgFmt.YUV444_10:
+            y, u, v = tonemap_ops.tonemap_to_yuv(
+                hdr_vals, fmt, ColorGamut(hdr.cg), ColorTransfer(hdr.ct),
+                out_yuv420=False)
+            sdr = RawImage(ImgFmt.YUV444, ColorGamut.DISPLAY_P3, ColorTransfer.SRGB,
+                           ColorRange.FULL, hdr.w, hdr.h,
+                           [_to_np(y), _to_np(u), _to_np(v)])
+        else:  # RGBA1010102 / RGBAF16
+            packed = tonemap_ops.tonemap_to_rgba8888(
+                hdr_vals, fmt, ColorGamut(hdr.cg), ColorTransfer(hdr.ct))
+            sdr = RawImage(ImgFmt.RGBA8888, ColorGamut.DISPLAY_P3, ColorTransfer.SRGB,
+                           ColorRange.FULL, hdr.w, hdr.h, [_to_np(packed)])
+        return sdr
+
+    # ------------------------------------------------------------------
+    # gain map generation (jpegr.cpp:524-1051)
+
+    def generate_gainmap(self, sdr: RawImage, hdr: RawImage,
+                         sdr_is_601: bool = False,
+                         use_luminance: bool = True):
+        """Returns (gainmap RawImage, GainMapMetadata).
+
+        NB: the reference's default use_luminance is true only for the
+        single-channel-luminance configuration; API-0 passes false
+        (maxRGB).  Callers pass explicitly."""
+        sdr_fmt, hdr_fmt = ImgFmt(sdr.fmt), ImgFmt(hdr.fmt)
+        if sdr_fmt not in (ImgFmt.YUV444, ImgFmt.YUV422, ImgFmt.YUV420, ImgFmt.RGBA8888):
+            raise unsupported(f"generate gainmap: bad sdr format {sdr_fmt}")
+        if hdr_fmt not in HDR_INPUT_FORMATS:
+            raise unsupported(f"generate gainmap: bad hdr format {hdr_fmt}")
+
+        hdr_ct = ColorTransfer(hdr.ct)
+        hdr_white_nits = colors.reference_display_peak_nits(hdr_ct)
+        if hdr_white_nits < 0:
+            raise unsupported(f"invalid hdr transfer {hdr_ct}")
+
+        # gamut conversion direction (jpegr.cpp:600-646)
+        sdr_cg, hdr_cg = ColorGamut(sdr.cg), ColorGamut(hdr.cg)
+        use_base_cg = True
+        if sdr_cg != hdr_cg:
+            use_base_cg = self.write_xmp or not (
+                hdr_cg == ColorGamut.BT2100
+                or (hdr_cg == ColorGamut.DISPLAY_P3 and sdr_cg != ColorGamut.BT2100))
+
+        scale = self.map_dimension_scale_factor
+        map_w, map_h = sdr.w // scale, sdr.h // scale
+        if map_w == 0 or map_h == 0:
+            s = min(sdr.w, sdr.h)
+            scale = s // 8 if s >= 8 else 1
+            self.map_dimension_scale_factor = scale
+            map_w, map_h = sdr.w // scale, sdr.h // scale
+
+        sdr_vals = pixel.unpack(sdr)
+        hdr_vals = pixel.unpack(hdr)
+
+        metadata = GainMapMetadata()
+        metadata.use_base_cg = use_base_cg
+        common = dict(sdr_fmt=sdr_fmt, hdr_fmt=hdr_fmt, sdr_cg=sdr_cg,
+                      hdr_cg=hdr_cg, ct=hdr_ct, scale=scale,
+                      multichannel=self.use_multi_channel_gainmap,
+                      use_luminance=use_luminance, sdr_is_601=sdr_is_601,
+                      use_base_cg=use_base_cg)
+
+        if self.preset == EncPreset.REALTIME:
+            max_boost = hdr_white_nits / colors.SDR_WHITE_NITS
+            gm = gainmap_ops.generate_gainmap_onepass(
+                sdr_vals, hdr_vals, gamma=self.gamma, max_boost=max_boost, **common)
+            metadata.max_content_boost[:] = max_boost
+            metadata.min_content_boost[:] = 1.0
+            metadata.gamma[:] = self.gamma
+            metadata.offset_sdr[:] = 0.0
+            metadata.offset_hdr[:] = 0.0
+            metadata.hdr_capacity_min = 1.0
+            if self.target_disp_peak_brightness != -1.0:
+                metadata.hdr_capacity_max = \
+                    self.target_disp_peak_brightness / colors.SDR_WHITE_NITS
+            else:
+                metadata.hdr_capacity_max = float(metadata.max_content_boost[0])
+        else:
+            gains, gmin, gmax = gainmap_ops.gainmap_float_pass(
+                sdr_vals, hdr_vals, **common)
+            lo, hi = gainmap_ops.resolve_boost_bounds(
+                _to_np(gmin), _to_np(gmax),
+                multichannel=self.use_multi_channel_gainmap,
+                min_content_boost=self.min_content_boost,
+                max_content_boost=self.max_content_boost,
+                merge_channels=self.write_xmp)
+            gm = gainmap_ops.encode_gainmap_twopass(
+                gains, jnp.asarray(lo), jnp.asarray(hi), np.float32(self.gamma))
+            n = 3 if self.use_multi_channel_gainmap else 1
+            metadata.max_content_boost[:] = np.exp2(np.resize(hi, 3)) if n == 3 \
+                else np.exp2(hi[0])
+            metadata.min_content_boost[:] = np.exp2(np.resize(lo, 3)) if n == 3 \
+                else np.exp2(lo[0])
+            metadata.gamma[:] = self.gamma
+            metadata.offset_sdr[:] = colors.SDR_OFFSET
+            metadata.offset_hdr[:] = colors.HDR_OFFSET
+            metadata.hdr_capacity_min = 1.0
+            if self.target_disp_peak_brightness != -1.0:
+                metadata.hdr_capacity_max = \
+                    self.target_disp_peak_brightness / colors.SDR_WHITE_NITS
+            else:
+                metadata.hdr_capacity_max = hdr_white_nits / colors.SDR_WHITE_NITS
+
+        gm_np = _to_np(gm)
+        if self.use_multi_channel_gainmap:
+            rgb = np.moveaxis(gm_np, 0, -1)  # (mh, mw, 3)
+            gm_img = RawImage(ImgFmt.RGB888, hdr_cg, hdr_ct, ColorRange(hdr.range),
+                              rgb.shape[1], rgb.shape[0], [np.ascontiguousarray(rgb)])
+        else:
+            gm_img = RawImage(ImgFmt.YUV400, hdr_cg, hdr_ct, ColorRange(hdr.range),
+                              gm_np.shape[2], gm_np.shape[1], [gm_np[0]])
+        return gm_img, metadata
+
+    def compress_gainmap(self, gm_img: RawImage) -> bytes:
+        """compressGainMap (jpegr.cpp:514-522): ICC only in ISO mode."""
+        icc = None
+        if not self.write_xmp:
+            icc = icc_mod.write_icc_profile(gm_img.ct, gm_img.cg)
+        return JpegEncoder().compress(gm_img, self.map_compress_quality,
+                                      icc=icc, gainmap_comment=True)
+
+    # ------------------------------------------------------------------
+    # raw input conversions
+
+    @staticmethod
+    def convert_raw_to_ycbcr(img: RawImage, chroma_sampling: bool = False) -> RawImage:
+        """convert_raw_input_to_ycbcr (gainmapmath.cpp:1291-1501)."""
+        fmt = ImgFmt(img.fmt)
+        if fmt in (ImgFmt.YUV420, ImgFmt.P010):
+            return img.copy()
+        if fmt not in (ImgFmt.RGBA8888, ImgFmt.RGBA1010102):
+            raise unsupported(f"no ycbcr conversion for format {fmt}")
+        m = colors.rgb2yuv_matrix_for_gamut(img.cg)
+        rgb = pixel.unpack(img)  # (3,H,W) in [0,1]
+        yuv = colors.apply_3x3(m, rgb)
+        yuv = _to_np(yuv)
+        if fmt == ImgFmt.RGBA8888:
+            y = np.clip(yuv[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            u_f = yuv[1] * 255.0 + 0.5 + 128.0
+            v_f = yuv[2] * 255.0 + 0.5 + 128.0
+            if chroma_sampling:
+                h2, w2 = (img.h // 2) * 2, (img.w // 2) * 2
+                # chroma averaged pre-bias over the 2x2 quad
+                u_q = (yuv[1][:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2)
+                       .mean(axis=(1, 3)))
+                v_q = (yuv[2][:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2)
+                       .mean(axis=(1, 3)))
+                u = np.clip(u_q * 255.0 + 0.5 + 128.0, 0, 255).astype(np.uint8)
+                v = np.clip(v_q * 255.0 + 0.5 + 128.0, 0, 255).astype(np.uint8)
+                return RawImage(ImgFmt.YUV420, img.cg, img.ct, ColorRange.FULL,
+                                img.w, img.h, [y, u, v])
+            u = np.clip(u_f, 0, 255).astype(np.uint8)
+            v = np.clip(v_f, 0, 255).astype(np.uint8)
+            return RawImage(ImgFmt.YUV444, img.cg, img.ct, ColorRange.FULL,
+                            img.w, img.h, [y, u, v])
+        # RGBA1010102
+        y10 = np.clip(yuv[0] * 1023.0 + 0.5, 0, 1023).astype(np.uint16)
+        if chroma_sampling:
+            h2, w2 = (img.h // 2) * 2, (img.w // 2) * 2
+            u_q = yuv[1][:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            v_q = yuv[2][:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).mean(axis=(1, 3))
+            u10 = np.clip(u_q * 1023.0 + 512.5, 0, 1023).astype(np.uint16)
+            v10 = np.clip(v_q * 1023.0 + 512.5, 0, 1023).astype(np.uint16)
+            uv = np.empty((h2 // 2, w2), np.uint16)
+            uv[:, 0::2] = u10 << 6
+            uv[:, 1::2] = v10 << 6
+            return RawImage(ImgFmt.P010, img.cg, img.ct, ColorRange.FULL,
+                            img.w, img.h, [(y10 << 6).astype(np.uint16), uv])
+        u10 = np.clip(yuv[1] * 1023.0 + 512.5, 0, 1023).astype(np.uint16)
+        v10 = np.clip(yuv[2] * 1023.0 + 512.5, 0, 1023).astype(np.uint16)
+        return RawImage(ImgFmt.YUV444_10, img.cg, img.ct, ColorRange.FULL,
+                        img.w, img.h, [y10, u10, v10])
+
+    @staticmethod
+    def convert_yuv_encoding(img: RawImage, src_cg, dst_cg) -> RawImage:
+        """convertYuv / transformYuv420/444 (jpegr.cpp:430-513,
+        gainmapmath.cpp:686-748): in-place YUV encoding conversion."""
+        m = colors.yuv_encoding_conversion_matrix(src_cg, dst_cg)
+        if m is None:
+            return img
+        fmt = ImgFmt(img.fmt)
+        if fmt not in (ImgFmt.YUV420, ImgFmt.YUV444):
+            raise unsupported(f"no yuv gamut conversion for format {fmt}")
+        vals = pixel.unpack(img)           # chroma centered at 0
+        out = _to_np(colors.apply_3x3(m, vals))
+        y = np.clip(out[0] * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        if fmt == ImgFmt.YUV420:
+            # converted chroma is constant over each 2x2 quad (matrix rows
+            # for u', v' have no y term), so the 4-sample average equals any
+            # one sample (transformYuv420, gainmapmath.cpp:686-748)
+            h2, w2 = (img.h // 2) * 2, (img.w // 2) * 2
+            u_q = out[1][:h2:2, :w2:2]
+            v_q = out[2][:h2:2, :w2:2]
+            u = np.clip(u_q * 255.0 + 128.5, 0, 255).astype(np.uint8)
+            v = np.clip(v_q * 255.0 + 128.5, 0, 255).astype(np.uint8)
+        else:
+            u = np.clip(out[1] * 255.0 + 128.5, 0, 255).astype(np.uint8)
+            v = np.clip(out[2] * 255.0 + 128.5, 0, 255).astype(np.uint8)
+        return RawImage(fmt, dst_cg, img.ct, img.range, img.w, img.h, [y, u, v])
+
+    # ------------------------------------------------------------------
+    # encode scenarios
+
+    def encode_api0(self, hdr: RawImage, quality: int = 95,
+                    exif: bytes | None = None) -> bytes:
+        fmt = ImgFmt(hdr.fmt)
+        if fmt not in HDR_INPUT_FORMATS:
+            raise invalid_param(f"unsupported hdr intent color format {fmt}")
+        sdr = self.tone_map(hdr)
+        # tonemapped intent -> one-pass map is sufficient (jpegr.cpp:200)
+        saved_preset = self.preset
+        self.preset = EncPreset.REALTIME
+        try:
+            gm_img, metadata = self.generate_gainmap(
+                sdr, hdr, sdr_is_601=False, use_luminance=False)
+        finally:
+            self.preset = saved_preset
+        gm_jpeg = self.compress_gainmap(gm_img)
+        icc = icc_mod.write_icc_profile(ColorTransfer.SRGB, sdr.cg)
+        sdr_yuv = self.convert_raw_to_ycbcr(sdr) if ImgFmt(sdr.fmt) in RGB_FORMATS else sdr
+        sdr_jpeg = JpegEncoder().compress(sdr_yuv, quality, icc=icc)
+        return jpegr_container.append_gainmap(
+            sdr_jpeg, gm_jpeg, metadata, exif=exif, icc=None,
+            write_iso=self.write_iso, write_xmp=self.write_xmp)
+
+    def encode_api1(self, hdr: RawImage, sdr: RawImage, quality: int = 95,
+                    exif: bytes | None = None) -> bytes:
+        self._check_dims_match(hdr, sdr)
+        gm_img, metadata = self.generate_gainmap(
+            sdr, hdr, sdr_is_601=False, use_luminance=True)
+        gm_jpeg = self.compress_gainmap(gm_img)
+        icc = icc_mod.write_icc_profile(ColorTransfer.SRGB, sdr.cg)
+        sdr_yuv = self.convert_raw_to_ycbcr(sdr) if ImgFmt(sdr.fmt) in RGB_FORMATS else sdr
+        # convert to bt601 YUV encoding for JPEG (jpegr.cpp:268-273)
+        sdr_yuv = self.convert_yuv_encoding(sdr_yuv, sdr_yuv.cg, ColorGamut.DISPLAY_P3)
+        sdr_jpeg = JpegEncoder().compress(sdr_yuv, quality, icc=icc)
+        return jpegr_container.append_gainmap(
+            sdr_jpeg, gm_jpeg, metadata, exif=exif, icc=None,
+            write_iso=self.write_iso, write_xmp=self.write_xmp)
+
+    def encode_api2(self, hdr: RawImage, sdr: RawImage,
+                    sdr_compressed: CompressedImage) -> bytes:
+        info = parse_jpeg(sdr_compressed.data)
+        if hdr.w != info.width or hdr.h != info.height:
+            raise invalid_param(
+                f"hdr intent {hdr.w}x{hdr.h} vs compressed sdr "
+                f"{info.width}x{info.height} mismatch")
+        gm_img, metadata = self.generate_gainmap(
+            sdr, hdr, sdr_is_601=False, use_luminance=True)
+        gm_jpeg = self.compress_gainmap(gm_img)
+        return self.encode_api4(
+            CompressedImage(sdr_compressed.data, sdr_compressed.cg),
+            CompressedImage(gm_jpeg), metadata)
+
+    def encode_api3(self, hdr: RawImage,
+                    sdr_compressed: CompressedImage) -> bytes:
+        info = parse_jpeg(sdr_compressed.data)
+        planes, fmt = decode_to_planes(sdr_compressed.data, info)
+        cg = ColorGamut.UNSPECIFIED
+        if info.icc:
+            cg = icc_mod.read_icc_color_gamut(info.icc)
+            if cg == ColorGamut.UNSPECIFIED or (
+                    sdr_compressed.cg != ColorGamut.UNSPECIFIED
+                    and sdr_compressed.cg != cg):
+                raise invalid_param(
+                    f"configured gamut {sdr_compressed.cg} does not match icc {cg}")
+        else:
+            if ColorGamut(sdr_compressed.cg) == ColorGamut.UNSPECIFIED:
+                raise invalid_param("unrecognized 420 color gamut")
+            cg = ColorGamut(sdr_compressed.cg)
+        sdr = RawImage(fmt, cg, ColorTransfer.SRGB, ColorRange.FULL,
+                       info.width, info.height, planes)
+        self._check_dims_match(hdr, sdr)
+        gm_img, metadata = self.generate_gainmap(
+            sdr, hdr, sdr_is_601=True, use_luminance=True)
+        gm_jpeg = self.compress_gainmap(gm_img)
+        return self.encode_api4(
+            CompressedImage(sdr_compressed.data, cg),
+            CompressedImage(gm_jpeg), metadata)
+
+    def encode_api4(self, base: CompressedImage, gainmap: CompressedImage,
+                    metadata: GainMapMetadata) -> bytes:
+        base_info = parse_jpeg(base.data)
+        if not metadata.use_base_cg:
+            gm_info = parse_jpeg(gainmap.data)
+            if not gm_info.icc:
+                raise unsupported(
+                    "gainmap application space is alternate image space but "
+                    "the gainmap jpeg carries no ICC")
+        icc = None
+        if not base_info.icc:
+            if ColorGamut(base.cg) == ColorGamut.UNSPECIFIED:
+                raise invalid_param("unrecognized 420 color gamut")
+            icc = icc_mod.write_icc_profile(ColorTransfer.SRGB, base.cg)
+        exif = None
+        base_data = base.data
+        if base_info.exif is not None:
+            # extract EXIF from the base stream; it moves to container level
+            exif = base_info.exif
+            start = base_info.exif_offset - 4
+            seglen = 2 + len(base_info.exif)
+            base_data = base_data[:start] + base_data[start + 2 + seglen:]
+        return jpegr_container.append_gainmap(
+            base_data, gainmap.data, metadata, exif=exif, icc=icc,
+            write_iso=self.write_iso, write_xmp=self.write_xmp)
+
+    @staticmethod
+    def _check_dims_match(hdr: RawImage, sdr: RawImage):
+        if hdr.w != sdr.w or hdr.h != sdr.h:
+            raise invalid_param(
+                f"sdr intent {sdr.w}x{sdr.h} and hdr intent {hdr.w}x{hdr.h} "
+                "resolutions do not match")
+
+    # ------------------------------------------------------------------
+    # decode
+
+    @staticmethod
+    def extract_primary_and_gainmap(data: bytes):
+        ranges = segments.scan_jpeg_images(data, limit=2)
+        primary = data[ranges[0][0]:ranges[0][1]]
+        gm = data[ranges[1][0]:ranges[1][1]] if len(ranges) > 1 else None
+        return primary, gm
+
+    def get_info(self, data: bytes) -> dict:
+        """getJPEGRInfo (jpegr.cpp:1332-1345): dims + marker blobs per image."""
+        primary, gm = self.extract_primary_and_gainmap(data)
+        pinfo = parse_jpeg(primary, parse_only=True)
+        out = {"width": pinfo.width, "height": pinfo.height,
+               "primary": pinfo, "gainmap": None}
+        if gm is not None:
+            out["gainmap"] = parse_jpeg(gm, parse_only=True)
+        return out
+
+    def parse_gainmap_metadata(self, iso: bytes | None, xmp_blob: bytes | None,
+                               exif: bytes | None) -> GainMapMetadata:
+        """parseGainMapMetadata (jpegr.cpp:1347-1381): ISO preferred."""
+        if iso:
+            ns_len = len(b"urn:iso:std:iso:ts:21496:-1\x00")
+            if len(iso) < ns_len:
+                raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                "iso block too small")
+            frac = iso21496.decode_gainmap_metadata(iso[ns_len:])
+            return iso21496.fraction_to_float(frac)
+        if xmp_blob:
+            return xmp.parse_xmp_metadata(xmp_blob, exif)
+        raise invalid_param("received no valid buffer to parse gainmap metadata")
+
+    def decode(self, data: bytes, output_ct=ColorTransfer.HLG,
+               output_fmt=ImgFmt.RGBA1010102, max_display_boost: float = 3.4028235e38,
+               return_gainmap: bool = False):
+        """decodeJPEGR (jpegr.cpp:1384-1446).
+
+        Returns (RawImage dest, GainMapMetadata, gainmap RawImage | None)."""
+        output_ct = ColorTransfer(output_ct)
+        primary, gm_jpeg = self.extract_primary_and_gainmap(data)
+        pinfo = parse_jpeg(primary)
+
+        gainmap_img = None
+        metadata = None
+        gm_info = None
+        if output_ct != ColorTransfer.SRGB or return_gainmap:
+            if gm_jpeg is None:
+                raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                "no gain map image present")
+            gm_info = parse_jpeg(gm_jpeg)
+            metadata = self.parse_gainmap_metadata(
+                gm_info.iso, gm_info.xmp, pinfo.exif)
+
+        if output_ct == ColorTransfer.SRGB:
+            packed = decode_to_rgba(primary, pinfo)
+            sdr_cg = icc_mod.read_icc_color_gamut(pinfo.icc) if pinfo.icc \
+                else ColorGamut.UNSPECIFIED
+            dest = RawImage(ImgFmt.RGBA8888, sdr_cg, ColorTransfer.SRGB,
+                            ColorRange.FULL, pinfo.width, pinfo.height, [packed])
+            return dest, metadata, gainmap_img
+
+        planes, base_fmt = decode_to_planes(primary, pinfo)
+        sdr_cg = icc_mod.read_icc_color_gamut(pinfo.icc) if pinfo.icc \
+            else ColorGamut.UNSPECIFIED
+        gm_planes, gm_fmt = decode_to_planes(gm_jpeg, gm_info)
+        gm_cg = icc_mod.read_icc_color_gamut(gm_info.icc) if gm_info.icc \
+            else ColorGamut.UNSPECIFIED
+
+        if gm_fmt == ImgFmt.YUV400:
+            gain_u8 = gm_planes[0][None]  # (1, mh, mw)
+        else:
+            # multichannel gain map: full RGB decode (DECODE_STREAM of an
+            # RGB-coded jpeg), (3, mh, mw)
+            packed = decode_to_rgba(gm_jpeg, gm_info)
+            gain_u8 = np.stack([(packed & 0xFF), (packed >> 8) & 0xFF,
+                                (packed >> 16) & 0xFF]).astype(np.uint8)
+
+        sdr_img = RawImage(base_fmt, sdr_cg, ColorTransfer.SRGB, ColorRange.FULL,
+                           pinfo.width, pinfo.height, planes)
+        dest = self.apply_gainmap(sdr_img, gain_u8, gm_cg, metadata, output_ct,
+                                  output_fmt, max_display_boost)
+        if return_gainmap:
+            if gm_fmt == ImgFmt.YUV400:
+                gainmap_img = RawImage(ImgFmt.YUV400, gm_cg, ColorTransfer.UNSPECIFIED,
+                                       ColorRange.FULL, gm_info.width,
+                                       gm_info.height, [gain_u8[0]])
+            else:
+                rgb = np.moveaxis(gain_u8, 0, -1)
+                gainmap_img = RawImage(ImgFmt.RGB888, gm_cg, ColorTransfer.UNSPECIFIED,
+                                       ColorRange.FULL, gm_info.width,
+                                       gm_info.height, [np.ascontiguousarray(rgb)])
+        return dest, metadata, gainmap_img
+
+    def apply_gainmap(self, sdr: RawImage, gain_u8: np.ndarray, gm_cg,
+                      metadata: GainMapMetadata, output_ct, output_fmt,
+                      max_display_boost: float) -> RawImage:
+        """applyGainMap (jpegr.cpp:1448-1699)."""
+        sdr_cg = ColorGamut(sdr.cg)
+        if sdr_cg == ColorGamut.UNSPECIFIED:
+            sdr_cg = ColorGamut.BT709
+        hdr_cg = ColorGamut(gm_cg)
+        if hdr_cg == ColorGamut.UNSPECIFIED:
+            hdr_cg = sdr_cg
+
+        mh, mw = gain_u8.shape[1], gain_u8.shape[2]
+        # aspect-ratio mismatch > 1% -> bicubic resize (jpegr.cpp:1525-1545)
+        primary_ar = sdr.w / sdr.h
+        gm_ar = mw / mh
+        if abs(primary_ar - gm_ar) / primary_ar > 0.01:
+            from .editor import resize_channels
+            gain_u8 = resize_channels(gain_u8, sdr.w, sdr.h)
+            mh, mw = gain_u8.shape[1], gain_u8.shape[2]
+
+        map_scale_factor = sdr.w / mw
+        scale_k = max(1, int(round(map_scale_factor)))
+
+        weight = apply_ops.gainmap_weight(
+            max_display_boost, float(metadata.hdr_capacity_min),
+            float(metadata.hdr_capacity_max))
+
+        sdr_yuv = pixel.unpack(sdr)
+        meta_arrays = apply_ops.metadata_to_arrays(metadata)
+
+        if map_scale_factor != float(scale_k) or mw * scale_k != sdr.w:
+            # fractional path: pre-upsample with the float-factor IDW
+            gain_f = idw.idw_upsample_fractional(
+                jnp.asarray(gain_u8).astype(jnp.float32) / 255.0,
+                map_scale_factor, sdr.h, sdr.w)
+            gain_in = _to_np(jnp.clip(jnp.round(gain_f * 255.0), 0, 255)).astype(np.uint8)
+            scale_for_kernel = 1
+        else:
+            gain_in = gain_u8
+            scale_for_kernel = scale_k
+
+        packed = apply_ops.apply_gainmap_core(
+            sdr_yuv, jnp.asarray(gain_in), meta_arrays,
+            scale_k=scale_for_kernel, weight=np.float32(weight),
+            out_ct=ColorTransfer(output_ct), sdr_cg=sdr_cg, hdr_cg=hdr_cg,
+            use_base_cg=bool(metadata.use_base_cg))
+        packed = _to_np(packed)
+
+        out_ct = ColorTransfer(output_ct)
+        if out_ct == ColorTransfer.LINEAR:
+            dest = RawImage(ImgFmt.RGBAF16, hdr_cg, out_ct, ColorRange.FULL,
+                            sdr.w, sdr.h, [packed])
+        else:
+            dest = RawImage(ImgFmt.RGBA1010102, hdr_cg, out_ct, ColorRange.FULL,
+                            sdr.w, sdr.h, [packed])
+        return dest
+
+
+def is_uhdr_image(data: bytes) -> bool:
+    """is_uhdr_image (ultrahdr_api.cpp:1359-1385): probe succeeds and a gain
+    map with metadata is present."""
+    try:
+        jr = JpegR()
+        primary, gm = jr.extract_primary_and_gainmap(data)
+        if gm is None:
+            return False
+        pinfo = parse_jpeg(primary, parse_only=True)
+        gm_info = parse_jpeg(gm, parse_only=True)
+        jr.parse_gainmap_metadata(gm_info.iso, gm_info.xmp, pinfo.exif)
+        return True
+    except Exception:
+        return False
