@@ -1,0 +1,229 @@
+"""Fused encode/decode compute steps + batch and multi-chip sharded variants.
+
+Single-image fused steps (`encode_core_p010`, `encode_core_p010_twopass`)
+are the XLA re-design of the reference's API-0 hot path
+(/root/reference/lib/src/jpegr.cpp:173-231: toneMap -> generateGainMap), with
+the JPEG entropy stage excluded (host-side, jpeg/).
+
+Scaling story (replaces the JobQueue thread pool, jpegr.cpp:68-133):
+
+* `encode_batch_p010` — `vmap` over a (B, ...) image batch on one chip.
+* `sharded_encode_step(mesh)` — `shard_map` over a ("data", "spatial") mesh:
+  images shard across the "data" axis (DP), pixel rows of each image shard
+  across the "spatial" axis (SP).  All per-pixel math is pointwise so the
+  only cross-shard communication is the two-pass gain min/max reduction,
+  which becomes `lax.pmin/pmax` over "spatial" (the reference's mutex-guarded
+  per-thread reduction, jpegr.cpp:838-931, turned into an ICI collective).
+* `sharded_apply_step(mesh)` — decode-side apply-gainmap under the same
+  layout (the GLES fragment-shader analog, gpu/applygainmap_gl.cpp, sharded).
+
+Row-sharding constraints (documented, checked at trace time): the H shard
+must be even (4:2:0 chroma quads never straddle shards) and divisible by the
+gain map scale factor (box windows never straddle shards) — the same
+constraint the reference imposes on its row jobs (2-row granularity for 420,
+jpegr.cpp:1994).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..types import ColorGamut, ColorRange, ColorTransfer, ImgFmt
+from ..ops import apply as apply_ops
+from ..ops import colors, gainmap as gainmap_ops, pixel
+from ..ops import tonemap as tonemap_ops
+
+
+# ---------------------------------------------------------------------------
+# fused single-image compute steps (pure; jit/vmap/shard_map-compatible)
+
+def _encode_pixels_p010(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
+                        rng: ColorRange, scale: int, multichannel: bool,
+                        gamma: float):
+    """P010 HDR planes -> (sdr y/u/v uint8, one-pass gain map uint8).
+
+    The complete API-0 device-side pixel pipeline: unpack -> toneMap ->
+    re-quantize -> one-pass gain map (jpegr.cpp:173-231 with preset forced
+    REALTIME at :200)."""
+    h, w = y.shape
+    hdr_vals = pixel.unpack_p010(y, uv, rng, h, w)
+    y8, u8, v8 = tonemap_ops.tonemap_to_yuv(hdr_vals, ImgFmt.P010, cg, ct,
+                                            out_yuv420=True)
+    # gain map reads the quantized SDR rendition, like the reference, which
+    # tone-maps into a real YUV420 buffer and re-reads it (jpegr.cpp:193-205)
+    sdr_vals = pixel.unpack_yuv8(y8, u8, v8, 2, 2, h, w)
+    max_boost = colors.reference_display_peak_nits(ct) / colors.SDR_WHITE_NITS
+    gm = gainmap_ops.generate_gainmap_onepass(
+        sdr_vals, hdr_vals, sdr_fmt=ImgFmt.YUV420, hdr_fmt=ImgFmt.P010,
+        sdr_cg=ColorGamut.DISPLAY_P3, hdr_cg=cg, ct=ct, scale=scale,
+        multichannel=multichannel, gamma=gamma, use_luminance=False,
+        sdr_is_601=False, use_base_cg=True, max_boost=max_boost)
+    return y8, u8, v8, gm
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cg", "ct", "rng", "scale", "multichannel", "gamma"))
+def encode_core_p010(y, uv, *, cg=ColorGamut.BT2100, ct=ColorTransfer.HLG,
+                     rng=ColorRange.FULL, scale: int = 4,
+                     multichannel: bool = False, gamma: float = 1.0):
+    """Jitted API-0 REALTIME encode compute step (single image)."""
+    return _encode_pixels_p010(y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
+                               multichannel=multichannel, gamma=gamma)
+
+
+def _encode_pixels_p010_twopass(y, uv, *, cg, ct, rng, scale, multichannel,
+                                gamma, reduce_axis: str | None = None):
+    """BEST_QUALITY two-pass variant: float gains + min/max reduction +
+    affine quantize (jpegr.cpp:830-1042).  When `reduce_axis` is given the
+    min/max runs as a cross-device collective over that mesh axis."""
+    h, w = y.shape
+    hdr_vals = pixel.unpack_p010(y, uv, rng, h, w)
+    y8, u8, v8 = tonemap_ops.tonemap_to_yuv(hdr_vals, ImgFmt.P010, cg, ct,
+                                            out_yuv420=True)
+    sdr_vals = pixel.unpack_yuv8(y8, u8, v8, 2, 2, h, w)
+    gains, gmin, gmax = gainmap_ops.gainmap_float_pass(
+        sdr_vals, hdr_vals, sdr_fmt=ImgFmt.YUV420, hdr_fmt=ImgFmt.P010,
+        sdr_cg=ColorGamut.DISPLAY_P3, hdr_cg=cg, ct=ct, scale=scale,
+        multichannel=multichannel, use_luminance=False, sdr_is_601=False,
+        use_base_cg=True)
+    if reduce_axis is not None:
+        gmin = jax.lax.pmin(gmin, reduce_axis)
+        gmax = jax.lax.pmax(gmax, reduce_axis)
+    c = gains.shape[0]
+    lo = jnp.clip(gmin, gainmap_ops.GAIN_LOG2_MIN, gainmap_ops.GAIN_LOG2_MAX)
+    hi = jnp.clip(gmax, gainmap_ops.GAIN_LOG2_MIN, gainmap_ops.GAIN_LOG2_MAX)
+    hi = jnp.where(jnp.abs(hi - lo) < jnp.finfo(jnp.float32).eps, hi + 0.1, hi)
+    gm = gainmap_ops.affine_map_gain(gains, lo[:c].reshape(c, 1, 1),
+                                     hi[:c].reshape(c, 1, 1),
+                                     jnp.float32(gamma))
+    return y8, u8, v8, gm, lo, hi
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cg", "ct", "rng", "scale", "multichannel", "gamma"))
+def encode_core_p010_twopass(y, uv, *, cg=ColorGamut.BT2100,
+                             ct=ColorTransfer.HLG, rng=ColorRange.FULL,
+                             scale: int = 4, multichannel: bool = True,
+                             gamma: float = 1.0):
+    """Jitted API-0 BEST_QUALITY encode compute step (single image)."""
+    return _encode_pixels_p010_twopass(y, uv, cg=cg, ct=ct, rng=rng,
+                                       scale=scale, multichannel=multichannel,
+                                       gamma=gamma)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cg", "ct", "rng", "scale", "multichannel", "gamma"))
+def encode_batch_p010(y, uv, *, cg=ColorGamut.BT2100, ct=ColorTransfer.HLG,
+                      rng=ColorRange.FULL, scale: int = 4,
+                      multichannel: bool = False, gamma: float = 1.0):
+    """vmap'd API-0 encode over a (B, H, W) / (B, H/2, W) P010 batch."""
+    fn = functools.partial(_encode_pixels_p010, cg=cg, ct=ct, rng=rng,
+                           scale=scale, multichannel=multichannel, gamma=gamma)
+    return jax.vmap(fn)(y, uv)
+
+
+# ---------------------------------------------------------------------------
+# multi-chip sharding
+
+def make_mesh(n_data: int | None = None, n_spatial: int = 1,
+              devices=None) -> Mesh:
+    """("data", "spatial") mesh over the available chips.
+
+    data  = image-batch DP (throughput; the default for serving)
+    spatial = pixel-row SP within one image (latency on huge images)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = devices.size // n_spatial
+    devices = devices[: n_data * n_spatial].reshape(n_data, n_spatial)
+    return Mesh(devices, axis_names=("data", "spatial"))
+
+
+def _check_row_shard(h: int, n_spatial: int, scale: int):
+    rows = h // n_spatial
+    if h % n_spatial or rows % 2 or rows % scale:
+        raise ValueError(
+            f"spatial sharding needs H ({h}) divisible by n_spatial "
+            f"({n_spatial}) with an even per-shard row count divisible by "
+            f"the gainmap scale ({scale})")
+
+
+def sharded_encode_step(mesh: Mesh, *, cg=ColorGamut.BT2100,
+                        ct=ColorTransfer.HLG, rng=ColorRange.FULL,
+                        scale: int = 4, multichannel: bool = True,
+                        gamma: float = 1.0, two_pass: bool = True):
+    """Build the jitted multi-chip API-0 encode step.
+
+    Input:  y (B, H, W) uint16, uv (B, H/2, W) uint16 — B shards over
+    "data", H over "spatial".  Output: sdr YUV420 planes + gain map (+ the
+    resolved log2 bounds for two-pass), identically sharded.
+
+    The two-pass min/max reduction is a pmin/pmax over "spatial" — per
+    image, matching the reference's cross-thread reduction semantics
+    (jpegr.cpp:838-931); "data"-axis images stay independent."""
+    n_spatial = mesh.shape["spatial"]
+
+    def per_image(y, uv):
+        if two_pass:
+            return _encode_pixels_p010_twopass(
+                y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
+                multichannel=multichannel, gamma=gamma,
+                reduce_axis="spatial" if n_spatial > 1 else None)
+        return _encode_pixels_p010(y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
+                                   multichannel=multichannel, gamma=gamma)
+
+    img_spec = P("data", "spatial", None)
+    plane_specs = (img_spec, img_spec, img_spec, P("data", None, "spatial", None))
+    out_specs = plane_specs + ((P("data", None), P("data", None))
+                               if two_pass else ())
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(img_spec, img_spec), out_specs=out_specs,
+                       check_vma=False)
+    def step(y, uv):
+        _check_row_shard(y.shape[1] * n_spatial, n_spatial, scale * 2)
+        outs = jax.vmap(per_image)(y, uv)
+        if two_pass:
+            y8, u8, v8, gm, lo, hi = outs
+            return y8, u8, v8, gm, lo, hi
+        return outs
+
+    return jax.jit(step)
+
+
+def sharded_apply_step(mesh: Mesh, *, out_ct=ColorTransfer.HLG,
+                       sdr_cg=ColorGamut.DISPLAY_P3,
+                       hdr_cg=ColorGamut.BT2100, use_base_cg: bool = True):
+    """Build the jitted multi-chip decode apply-gainmap step.
+
+    Input: sdr_yuv (B, 3, H, W) f32, gain (B, C, H, W) f32-normalized u8
+    grid at full resolution (library-default map scale factor 1,
+    jpegr.h:27-42 — scale>1 upsampling has cross-row IDW halos and runs in
+    the single-chip path), metadata arrays replicated.  B shards over
+    "data", H over "spatial"; the pipeline is pointwise so no collectives."""
+
+    def per_image(sdr_yuv, gain, meta):
+        return apply_ops.apply_gainmap_core(
+            sdr_yuv, gain, meta, scale_k=1, weight=jnp.float32(1.0),
+            out_ct=out_ct, sdr_cg=sdr_cg, hdr_cg=hdr_cg,
+            use_base_cg=use_base_cg)
+
+    img_spec = P("data", None, "spatial", None)
+    meta_spec = {k: P() for k in ("gamma", "min_content_boost",
+                                  "max_content_boost", "offset_sdr",
+                                  "offset_hdr")}
+    out_spec = P("data", "spatial", None) if out_ct != ColorTransfer.LINEAR \
+        else P("data", "spatial", None, None)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(img_spec, img_spec, meta_spec),
+                       out_specs=out_spec, check_vma=False)
+    def step(sdr_yuv, gain, meta):
+        return jax.vmap(lambda s, g: per_image(s, g, meta))(sdr_yuv, gain)
+
+    return jax.jit(step)

@@ -1,0 +1,92 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+Verifies that the shard_map'd encode/apply steps produce bit-identical
+results to the single-device fused steps — the TPU analog of the reference's
+NEON-vs-scalar equivalence tests (tests/gainmapmath_test.cpp:759,956)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libultrahdr_tpu import parallel
+from libultrahdr_tpu.ops import apply as apply_ops
+from libultrahdr_tpu.types import ColorGamut, ColorRange, ColorTransfer
+
+
+def _p010_batch(b, h, w, seed=0):
+    rs = np.random.RandomState(seed)
+    y = (rs.randint(0, 1024, (b, h, w)).astype(np.uint16) << 6)
+    uv = (rs.randint(0, 1024, (b, h // 2, w)).astype(np.uint16) << 6)
+    return y, uv
+
+
+def test_mesh_axes():
+    mesh = parallel.make_mesh(4, 2)
+    assert mesh.shape == {"data": 4, "spatial": 2}
+
+
+@pytest.mark.parametrize("two_pass", [False, True])
+def test_sharded_encode_matches_single(two_pass):
+    b, h, w = 4, 64, 128
+    y, uv = _p010_batch(b, h, w)
+    mesh = parallel.make_mesh(4, 2)
+    step = parallel.sharded_encode_step(mesh, scale=4, multichannel=True,
+                                        two_pass=two_pass)
+    outs = jax.block_until_ready(step(y, uv))
+
+    for i in range(b):
+        if two_pass:
+            ref = parallel.encode_core_p010_twopass(
+                y[i], uv[i], scale=4, multichannel=True)
+            # XLA reassociates the box-mean/min reductions differently per
+            # shard shape: bounds agree to ~1 ulp, the quantized map to +-1
+            for got, want in zip(outs[:3], ref[:3]):
+                np.testing.assert_array_equal(np.asarray(got[i]),
+                                              np.asarray(want))
+            gm_got = np.asarray(outs[3][i], np.int16)
+            gm_want = np.asarray(ref[3], np.int16)
+            assert np.abs(gm_got - gm_want).max() <= 1
+            np.testing.assert_allclose(np.asarray(outs[4][i]),
+                                       np.asarray(ref[4]), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(outs[5][i]),
+                                       np.asarray(ref[5]), rtol=1e-6)
+        else:
+            ref = parallel.encode_core_p010(y[i], uv[i], scale=4,
+                                            multichannel=True)
+            for got, want in zip(outs, ref):
+                np.testing.assert_array_equal(np.asarray(got[i]),
+                                              np.asarray(want))
+
+
+def test_sharded_apply_matches_single():
+    b, h, w = 2, 64, 128
+    rs = np.random.RandomState(1)
+    sdr = rs.rand(b, 3, h, w).astype(np.float32)
+    sdr[:, 1:] -= 0.5
+    gain = rs.rand(b, 3, h, w).astype(np.float32)
+    meta = {"gamma": np.ones(3, np.float32),
+            "min_content_boost": np.ones(3, np.float32),
+            "max_content_boost": np.full(3, 4.0, np.float32),
+            "offset_sdr": np.zeros(3, np.float32),
+            "offset_hdr": np.zeros(3, np.float32)}
+
+    mesh = parallel.make_mesh(2, 4)
+    step = parallel.sharded_apply_step(mesh, out_ct=ColorTransfer.HLG)
+    got = np.asarray(jax.block_until_ready(step(sdr, gain, meta)))
+
+    for i in range(b):
+        want = apply_ops.apply_gainmap_core(
+            jnp.asarray(sdr[i]), jnp.asarray(gain[i]), meta, scale_k=1,
+            weight=jnp.float32(1.0), out_ct=ColorTransfer.HLG,
+            sdr_cg=ColorGamut.DISPLAY_P3, hdr_cg=ColorGamut.BT2100,
+            use_base_cg=True)
+        np.testing.assert_array_equal(got[i], np.asarray(want))
+
+
+def test_row_shard_constraint():
+    mesh = parallel.make_mesh(1, 8)
+    step = parallel.sharded_encode_step(mesh, scale=4)
+    y, uv = _p010_batch(1, 40, 128)  # 40/8 = 5 rows: odd, not /4
+    with pytest.raises(ValueError):
+        step(y, uv)
