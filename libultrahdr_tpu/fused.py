@@ -1,0 +1,228 @@
+"""Fully-fused API-0 encode: one XLA program from raw HDR planes to packed
+JPEG scan bits for both the SDR base image and the gain map.
+
+This is the throughput path that makes the TPU build beat the reference on
+its own headline benchmark (API-0 encode, /root/reference/benchmark/
+benchmark_test.cpp:62-66): everything between the raw input upload and the
+compressed-bytes download — tonemap (jpegr.cpp:1853-2090), one-pass gain map
+(jpegr.cpp:712-828), MCU padding, batched DCT/quantization, and Huffman bit
+packing (jpeg/device_entropy.py) — runs as a single jit-compiled program, so
+the host link carries only ~raw-JPEG-sized data.
+
+The host side then stuffs/joins the restart rows (native C++), wraps headers
+(jpeg/encoder.assemble_jpeg), and assembles the JPEG_R container
+(container/jpegr_container.py) — pure byte work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .container import icc as icc_mod
+from .container import jpegr_container
+from .jpeg import device_entropy, native
+from .jpeg.encoder import assemble_jpeg
+from .jpeg.tables import (STD_CHROMA_QUANT, STD_LUMA_QUANT,
+                          scaled_quant_table)
+from .jpeg.dct import forward_plane
+from .ops import colors, gainmap as gainmap_ops, pixel
+from .ops import tonemap as tonemap_ops
+from .types import (ColorGamut, ColorRange, ColorTransfer, GainMapMetadata,
+                    ImgFmt)
+
+_SAMPLING_420 = ((2, 2), (1, 1), (1, 1))
+_SAMPLING_444 = ((1, 1), (1, 1), (1, 1))
+_SAMPLING_400 = ((1, 1),)
+
+
+def _pad_edge(p, ph: int, pw: int):
+    h, w = p.shape
+    if h == ph and w == pw:
+        return p
+    return jnp.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _rgb_to_ycbcr(rgb_u8_chw):
+    """libjpeg full-range Rec.601 RGB->YCbCr (jccolor.c) on (3, H, W)."""
+    r = rgb_u8_chw[0].astype(jnp.float32)
+    g = rgb_u8_chw[1].astype(jnp.float32)
+    b = rgb_u8_chw[2].astype(jnp.float32)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    return [jnp.clip(jnp.round(p), 0.0, 255.0).astype(jnp.uint8)
+            for p in (y, cb, cr)]
+
+
+def _pack_planes(planes, sampling, qtables):
+    """MCU-pad, DCT/quant and Huffman-pack a plane set; returns
+    (words, row_byte_offsets, layout)."""
+    hmax = max(h for h, _ in sampling)
+    vmax = max(v for _, v in sampling)
+    h0, w0 = planes[0].shape
+    mcus_w = -(-w0 // (8 * hmax))
+    mcus_h = -(-h0 // (8 * vmax))
+    coeffs = []
+    for p, (hs, vs), q in zip(planes, sampling, qtables):
+        padded = _pad_edge(p, mcus_h * vs * 8, mcus_w * hs * 8)
+        coeffs.append(forward_plane(padded, q))
+    layout = device_entropy.scan_layout(tuple(sampling), mcus_w, mcus_h)
+    words, row_off = device_entropy.pack_scan_device(coeffs, layout)
+    return words, row_off, layout
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cg", "ct", "rng", "scale", "multichannel", "gamma", "quality",
+    "map_quality", "use_base_cg"))
+def _fused_api0_p010(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
+                     rng: ColorRange, scale: int, multichannel: bool,
+                     gamma: float, quality: int, map_quality: int,
+                     use_base_cg: bool):
+    """P010 HDR -> (base_words, base_row_off, gm_words, gm_row_off)."""
+    h, w = y.shape
+    hdr_vals = pixel.unpack_p010(y, uv, rng, h, w)
+    y8, u8, v8 = tonemap_ops.tonemap_to_yuv(hdr_vals, ImgFmt.P010, cg, ct,
+                                            out_yuv420=True)
+    sdr_vals = pixel.unpack_yuv8(y8, u8, v8, 2, 2, h, w)
+    max_boost = colors.reference_display_peak_nits(ct) / colors.SDR_WHITE_NITS
+    gm = gainmap_ops.generate_gainmap_onepass(
+        sdr_vals, hdr_vals, sdr_fmt=ImgFmt.YUV420, hdr_fmt=ImgFmt.P010,
+        sdr_cg=ColorGamut.DISPLAY_P3, hdr_cg=cg, ct=ct, scale=scale,
+        multichannel=multichannel, gamma=gamma, use_luminance=False,
+        sdr_is_601=False, use_base_cg=use_base_cg, max_boost=max_boost)
+
+    qluma = scaled_quant_table(STD_LUMA_QUANT, quality)
+    qchroma = scaled_quant_table(STD_CHROMA_QUANT, quality)
+    base_words, base_off, _ = _pack_planes(
+        [y8, u8, v8], _SAMPLING_420, [qluma, qchroma, qchroma])
+
+    mq_luma = scaled_quant_table(STD_LUMA_QUANT, map_quality)
+    mq_chroma = scaled_quant_table(STD_CHROMA_QUANT, map_quality)
+    if multichannel:
+        gm_planes = _rgb_to_ycbcr(gm)
+        gm_words, gm_off, _ = _pack_planes(
+            gm_planes, _SAMPLING_444, [mq_luma, mq_chroma, mq_chroma])
+    else:
+        gm_words, gm_off, _ = _pack_planes([gm[0]], _SAMPLING_400, [mq_luma])
+    return base_words, base_off, gm_words, gm_off
+
+
+_FETCH_GRANULE = 256 * 1024 // 4  # 256 KB in u32 words
+
+
+def fetch_scan(words_dev, row_off: np.ndarray) -> bytes:
+    """Download the valid prefix of a device word buffer (rounded up to a
+    256 KB granule so the slice-program cache stays small), byte-swap to the
+    big-endian stream, stuff + join restart rows on host."""
+    total_bytes = int(row_off[-1])
+    need_words = -(-total_bytes // 4)
+    bucket = min(-(-need_words // _FETCH_GRANULE) * _FETCH_GRANULE,
+                 words_dev.shape[0])
+    host_words = np.asarray(jax.lax.slice(words_dev, (0,), (bucket,)))
+    raw = host_words.astype(">u4", copy=False).tobytes()[:total_bytes + 4]
+    return native.stuff_scan(np.frombuffer(raw, np.uint8), row_off)
+
+
+def encode_api0_p010_pipelined(jr, imgs, quality: int = 95,
+                               exif: bytes | None = None) -> list[bytes]:
+    """Throughput-mode API-0 encode of many P010 images.
+
+    Dispatches every image's fused device program up front (JAX dispatch is
+    async), then drains results in order — so image N+1's upload/compute
+    overlaps image N's compressed-bytes download.  This replaces the
+    reference's 'more threads' scaling story (JobQueue, jpegr.cpp:68-133)
+    with upload/compute/download pipelining on one chip; multi-chip scaling
+    batches over the mesh (parallel/batch.py)."""
+    handles = [(_dispatch_api0_p010(jr, img, quality), img) for img in imgs]
+    return [_assemble_api0_p010(jr, img, quality, exif, *h)
+            for h, img in handles]
+
+
+def _dispatch_api0_p010(jr, img, quality: int):
+    cg, ct, rng = ColorGamut(img.cg), ColorTransfer(img.ct), ColorRange(img.range)
+    scale = jr.map_dimension_scale_factor
+    if scale <= 0 or img.w // scale == 0 or img.h // scale == 0:
+        s = min(img.w, img.h)
+        scale = s // 8 if s >= 8 else 1
+        jr.map_dimension_scale_factor = scale
+    use_base_cg = (cg != ColorGamut.BT2100) or jr.write_xmp
+    out = _fused_api0_p010(
+        jnp.asarray(img.planes[0]), jnp.asarray(img.planes[1]),
+        cg=cg, ct=ct, rng=rng, scale=scale,
+        multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
+        quality=int(quality), map_quality=jr.map_compress_quality,
+        use_base_cg=use_base_cg)
+    return out + (scale, use_base_cg)
+
+
+def encode_api0_p010_fused(jr, img, quality: int, exif: bytes | None) -> bytes:
+    """Fused fast path for JpegR.encode_api0 on P010 input.
+
+    `jr` carries the tuning knobs (scale/multichannel/gamma/map quality,
+    jpegr.h:27-47); output is byte-compatible with the general path except
+    the JPEG scans use one restart segment per MCU row.
+
+    API-0 SDR is always tone-mapped into P3 (jpegr.cpp:1985-1987), so the
+    use_base_cg selection (jpegr.cpp:600-646) reduces to
+    cg != BT2100 or write_xmp (computed in _dispatch_api0_p010)."""
+    handle = _dispatch_api0_p010(jr, img, quality)
+    return _assemble_api0_p010(jr, img, quality, exif, *handle)
+
+
+def _assemble_api0_p010(jr, img, quality: int, exif: bytes | None,
+                        base_words, base_off_d, gm_words, gm_off_d,
+                        scale: int, use_base_cg: bool) -> bytes:
+    ct = ColorTransfer(img.ct)
+    cg = ColorGamut(img.cg)
+    base_off = np.asarray(base_off_d)
+    gm_off = np.asarray(gm_off_d)
+    base_scan = fetch_scan(base_words, base_off)
+    gm_scan = fetch_scan(gm_words, gm_off)
+
+    # one-pass metadata is closed-form (jpegr.cpp:712-828)
+    hdr_white = colors.reference_display_peak_nits(ct)
+    max_boost = hdr_white / colors.SDR_WHITE_NITS
+    metadata = GainMapMetadata()
+    metadata.max_content_boost[:] = max_boost
+    metadata.min_content_boost[:] = 1.0
+    metadata.gamma[:] = jr.gamma
+    metadata.offset_sdr[:] = 0.0
+    metadata.offset_hdr[:] = 0.0
+    metadata.hdr_capacity_min = 1.0
+    if jr.target_disp_peak_brightness != -1.0:
+        metadata.hdr_capacity_max = \
+            jr.target_disp_peak_brightness / colors.SDR_WHITE_NITS
+    else:
+        metadata.hdr_capacity_max = max_boost
+    metadata.use_base_cg = use_base_cg
+
+    quality = int(quality)
+    qluma = scaled_quant_table(STD_LUMA_QUANT, quality)
+    qchroma = scaled_quant_table(STD_CHROMA_QUANT, quality)
+    icc = icc_mod.write_icc_profile(ColorTransfer.SRGB, ColorGamut.DISPLAY_P3)
+    base_jpeg = assemble_jpeg(
+        img.h, img.w, list(_SAMPLING_420), qluma, qchroma, base_scan,
+        icc=icc, dri=-(-img.w // 16))
+
+    mq_luma = scaled_quant_table(STD_LUMA_QUANT, jr.map_compress_quality)
+    mq_chroma = scaled_quant_table(STD_CHROMA_QUANT, jr.map_compress_quality)
+    mh, mw = img.h // scale, img.w // scale
+    gm_icc = None
+    if not jr.write_xmp:
+        gm_icc = icc_mod.write_icc_profile(ct, cg)
+    if jr.use_multi_channel_gainmap:
+        gm_jpeg = assemble_jpeg(mh, mw, list(_SAMPLING_444), mq_luma,
+                                mq_chroma, gm_scan, icc=gm_icc,
+                                gainmap_comment=True, dri=-(-mw // 8))
+    else:
+        gm_jpeg = assemble_jpeg(mh, mw, list(_SAMPLING_400), mq_luma,
+                                mq_chroma, gm_scan, icc=gm_icc,
+                                gainmap_comment=True, dri=-(-mw // 8))
+
+    return jpegr_container.append_gainmap(
+        base_jpeg, gm_jpeg, metadata, exif=exif, icc=None,
+        write_iso=jr.write_iso, write_xmp=jr.write_xmp)

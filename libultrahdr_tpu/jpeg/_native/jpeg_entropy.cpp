@@ -148,6 +148,31 @@ struct CompMeta {
 
 extern "C" {
 
+// Finalize a device-packed scan: byte-stuff each restart row and join rows
+// with RST markers.  `in` holds mcus_h byte-aligned row segments laid out
+// back to back (offsets in row_off[0..n_rows], bytes); the TPU produced the
+// Huffman bits (jpeg/device_entropy.py), this pass is the only sequential
+// remainder.  Returns bytes written or -1 on overflow.
+int64_t uhdr_stuff_scan(const uint8_t* in, const int32_t* row_off,
+                        int n_rows, uint8_t* out, int64_t capacity) {
+  int64_t o = 0;
+  for (int r = 0; r < n_rows; r++) {
+    const uint8_t* p = in + row_off[r];
+    const uint8_t* end = in + row_off[r + 1];
+    if (o + 2 * (end - p) + 2 > capacity) return -1;
+    while (p < end) {
+      uint8_t c = *p++;
+      out[o++] = c;
+      if (c == 0xFF) out[o++] = 0x00;
+    }
+    if (r != n_rows - 1) {
+      out[o++] = 0xFF;
+      out[o++] = (uint8_t)(0xD0 + (r & 7));
+    }
+  }
+  return o;
+}
+
 // Encode one interleaved baseline scan.  Returns bytes written, or -1 on
 // overflow, -2 on bad args.  Emits only entropy-coded data (+RST markers if
 // restart_interval > 0); SOS header/EOI are the caller's job.

@@ -101,6 +101,51 @@ def _pad_plane(plane: np.ndarray, ph: int, pw: int, is_chroma: bool) -> np.ndarr
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
+def _dri(interval: int) -> bytes:
+    return _segment(0xDD, _u16(interval))
+
+
+def assemble_jpeg(h: int, w: int, sampling, qluma, qchroma, scan: bytes,
+                  icc: bytes | None = None, gainmap_comment: bool = False,
+                  extra_app_segments: list[bytes] | None = None,
+                  dri: int = 0) -> bytes:
+    """Assemble a full baseline JPEG around an entropy-coded scan.
+
+    Shared by the host path (compress) and the fused device path
+    (libultrahdr_tpu.fused), which packs the scan on TPU with one restart
+    segment per MCU row."""
+    n = len(sampling)
+    out = bytearray()
+    out += b"\xFF\xD8"
+    out += _jfif_app0()
+    if icc:
+        out += _segment(0xE2, icc)
+    if extra_app_segments:
+        for seg in extra_app_segments:
+            out += seg
+    if gainmap_comment:
+        comment = (f"Source: google libuhdr v{_lib_version}, "
+                   f"Coder: libjpeg v80, Attrib: GainMap Image")
+        out += _segment(0xFE, comment.encode("ascii"))
+    out += _dqt(qluma, 0)
+    if n > 1:
+        out += _dqt(qchroma, 1)
+    out += _sof0(h, w, [(i + 1, sampling[i], 0 if i == 0 else 1)
+                        for i in range(n)])
+    out += _dht(DC_LUMA, 0, 0)
+    out += _dht(AC_LUMA, 1, 0)
+    if n > 1:
+        out += _dht(DC_CHROMA, 0, 1)
+        out += _dht(AC_CHROMA, 1, 1)
+    if dri:
+        out += _dri(dri)
+    out += _sos([(i + 1, 0 if i == 0 else 1, 0 if i == 0 else 1)
+                 for i in range(n)])
+    out += scan
+    out += b"\xFF\xD9"
+    return bytes(out)
+
+
 class JpegEncoder:
     """Stateless baseline JPEG compressor for the formats the codec needs."""
 
@@ -145,30 +190,6 @@ class JpegEncoder:
         ac_tables = [AC_LUMA, AC_CHROMA if n > 1 else None, None, None]
         scan = native.encode_scan(comps, mcus_w, mcus_h, dc_tables, ac_tables)
 
-        out = bytearray()
-        out += b"\xFF\xD8"                     # SOI
-        out += _jfif_app0()
-        if icc:
-            out += _segment(0xE2, icc)
-        if extra_app_segments:
-            for seg in extra_app_segments:
-                out += seg
-        if gainmap_comment:
-            comment = (f"Source: google libuhdr v{_lib_version}, "
-                       f"Coder: libjpeg v80, Attrib: GainMap Image")
-            out += _segment(0xFE, comment.encode("ascii"))
-        out += _dqt(qluma, 0)
-        if n > 1:
-            out += _dqt(qchroma, 1)
-        sof_comps = [(i + 1, sampling[i], 0 if i == 0 else 1) for i in range(n)]
-        out += _sof0(img.h, img.w, sof_comps)
-        out += _dht(DC_LUMA, 0, 0)
-        out += _dht(AC_LUMA, 1, 0)
-        if n > 1:
-            out += _dht(DC_CHROMA, 0, 1)
-            out += _dht(AC_CHROMA, 1, 1)
-        out += _sos([(i + 1, 0 if i == 0 else 1, 0 if i == 0 else 1)
-                     for i in range(n)])
-        out += scan
-        out += b"\xFF\xD9"                     # EOI
-        return bytes(out)
+        return assemble_jpeg(img.h, img.w, sampling, qluma, qchroma, scan,
+                             icc=icc, gainmap_comment=gainmap_comment,
+                             extra_app_segments=extra_app_segments)

@@ -50,6 +50,10 @@ def get_lib():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_stuff_scan.restype = ctypes.c_int64
+            lib.uhdr_stuff_scan.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int64]
             lib.uhdr_decode_scan.restype = ctypes.c_int64
             lib.uhdr_decode_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64,
@@ -102,6 +106,22 @@ def encode_scan(comps, mcus_w: int, mcus_h: int, dc_tables, ac_tables,
         out.ctypes.data, cap)
     if written < 0:
         raise RuntimeError(f"entropy encode failed: {written}")
+    return out[:written].tobytes()
+
+
+def stuff_scan(row_bytes: np.ndarray, row_offsets: np.ndarray) -> bytes:
+    """Byte-stuff device-packed restart rows and join them with RST markers
+    (the final host pass after jpeg/device_entropy.py)."""
+    lib = get_lib()
+    rb = np.ascontiguousarray(row_bytes, np.uint8)
+    off = np.ascontiguousarray(row_offsets, np.int32)
+    n_rows = len(off) - 1
+    cap = int(off[-1]) * 2 + 2 * n_rows + 16
+    out = np.empty(cap, np.uint8)
+    written = lib.uhdr_stuff_scan(rb.ctypes.data, off.ctypes.data, n_rows,
+                                  out.ctypes.data, cap)
+    if written < 0:
+        raise RuntimeError(f"stuff_scan failed: {written}")
     return out[:written].tobytes()
 
 

@@ -286,10 +286,16 @@ class JpegR:
     # encode scenarios
 
     def encode_api0(self, hdr: RawImage, quality: int = 95,
-                    exif: bytes | None = None) -> bytes:
+                    exif: bytes | None = None,
+                    use_fused: bool = True) -> bytes:
         fmt = ImgFmt(hdr.fmt)
         if fmt not in HDR_INPUT_FORMATS:
             raise invalid_param(f"unsupported hdr intent color format {fmt}")
+        if use_fused and fmt == ImgFmt.P010:
+            # single-XLA-program fast path: tonemap + gainmap + DCT +
+            # device-side Huffman packing in one jit (fused.py)
+            from .fused import encode_api0_p010_fused
+            return encode_api0_p010_fused(self, hdr, quality, exif)
         sdr = self.tone_map(hdr)
         # tonemapped intent -> one-pass map is sufficient (jpegr.cpp:200)
         saved_preset = self.preset
