@@ -10,6 +10,9 @@ TPU and image batches sharding across chips.
 __version__ = "1.4.0"  # tracks the reference's UHDR_LIB_VERSION
 
 from .errors import UhdrError, UhdrErrorCode  # noqa: F401
-from .types import (ColorGamut, ColorRange, ColorTransfer, CompressedImage,  # noqa: F401
-                    EncPreset, GainMapMetadata, ImgFmt, ImgLabel,
-                    MirrorDirection, RawImage, alloc_raw_image)
+from .types import (Codec, ColorGamut, ColorRange, ColorTransfer,  # noqa: F401
+                    CompressedImage, EncPreset, GainMapMetadata, ImgFmt,
+                    ImgLabel, MirrorDirection, RawImage, alloc_raw_image)
+from .api import (UhdrDecoder, UhdrEncoder,  # noqa: F401
+                  validate_gainmap_metadata)
+from .jpegr import is_uhdr_image  # noqa: F401

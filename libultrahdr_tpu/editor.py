@@ -114,26 +114,37 @@ def resize_channels(gain_u8: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
     return np.clip(out * 255.0 + 0.5, 0, 255).astype(np.uint8)
 
 
-def apply_resize(img: RawImage, dst_w: int, dst_h: int) -> RawImage:
-    """resize_image (editorhelper.cpp:100-146) for the editor-effect path.
+def _resize_legacy(p: np.ndarray, dst_w: int, dst_h: int) -> np.ndarray:
+    """Effect-path resize template (resize_buffer, editorhelper.cpp:77-86):
+    nearest sampling with INTEGER-division strides — replicated exactly,
+    including the upscale quirk where src_dim // dst_dim == 0 repeats
+    row/column 0."""
+    sh, sw = p.shape
+    ri = np.arange(dst_h) * (sh // dst_h)
+    ci = np.arange(dst_w) * (sw // dst_w)
+    return p[np.ix_(ri, ci)]
 
-    Supported on the formats the reference's get/put pixel fns cover in the
-    effect pipeline (8-bit YCbCr planar, packed RGBA8888, YUV400)."""
+
+def apply_resize(img: RawImage, dst_w: int, dst_h: int) -> RawImage:
+    """Effect-path resize (apply_resize, editorhelper.cpp:417-483): each
+    plane resampled at its subsampled dims; P010 UV pairs and packed
+    RGBA/F16 pixels move as single u32/u64 units like the reference's
+    template instantiations (editorhelper.cpp:162-165)."""
     fmt = ImgFmt(img.fmt)
-    if fmt == ImgFmt.RGBA8888:
-        from .ops import pixel as pixel_ops
-        rgb = np.asarray(pixel_ops.unpack_rgba8888(img.planes[0]))
-        out = np.stack([_bicubic_plane(c, dst_w, dst_h) for c in rgb])
-        q = np.clip(out * 255.0 + 0.5, 0, 255).astype(np.uint32)
-        packed = q[0] | (q[1] << 8) | (q[2] << 16) | np.uint32(255 << 24)
-        return RawImage(fmt, img.cg, img.ct, img.range, dst_w, dst_h, [packed])
-    if fmt in (ImgFmt.YUV400, ImgFmt.YUV444, ImgFmt.YUV422, ImgFmt.YUV420):
-        planes = []
-        for i, p in enumerate(img.planes):
-            sx = img.w // p.shape[1]
-            sy = img.h // p.shape[0]
-            vals = _bicubic_plane(p.astype(np.float64) / 255.0,
-                                  dst_w // sx, dst_h // sy)
-            planes.append(np.clip(vals * 255.0 + 0.5, 0, 255).astype(np.uint8))
-        return RawImage(fmt, img.cg, img.ct, img.range, dst_w, dst_h, planes)
-    raise unsupported(f"resize not supported for format {fmt}")
+    if fmt == ImgFmt.RGBAF16:
+        packed = img.planes[0]
+        if packed.ndim == 3:  # (h, w, 4) u16 component layout -> u64 view
+            p64 = np.ascontiguousarray(packed).view(np.uint64)[..., 0]
+        else:
+            p64 = packed
+        out = _resize_legacy(p64, dst_w, dst_h)
+        comp = np.ascontiguousarray(out)[..., None].view(np.uint16) \
+            .reshape(dst_h, dst_w, 4)
+        return RawImage(fmt, img.cg, img.ct, img.range, dst_w, dst_h,
+                        [np.ascontiguousarray(comp)])
+    planes = []
+    for i, p in enumerate(_plane_views(img)):
+        sx = max(1, img.w // p.shape[1])
+        sy = max(1, img.h // p.shape[0])
+        planes.append(_resize_legacy(p, dst_w // sx, dst_h // sy))
+    return _rebuild(img, planes, dst_w, dst_h)

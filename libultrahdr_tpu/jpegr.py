@@ -462,6 +462,8 @@ class JpegR:
                 else ColorGamut.UNSPECIFIED
             dest = RawImage(ImgFmt.RGBA8888, sdr_cg, ColorTransfer.SRGB,
                             ColorRange.FULL, pinfo.width, pinfo.height, [packed])
+            if return_gainmap:
+                gainmap_img = self._decode_gainmap_image(gm_jpeg, gm_info)
             return dest, metadata, gainmap_img
 
         planes, base_fmt = decode_to_planes(primary, pinfo)
@@ -485,16 +487,36 @@ class JpegR:
         dest = self.apply_gainmap(sdr_img, gain_u8, gm_cg, metadata, output_ct,
                                   output_fmt, max_display_boost)
         if return_gainmap:
+            gm_cg2 = icc_mod.read_icc_color_gamut(gm_info.icc) if gm_info.icc \
+                else ColorGamut.UNSPECIFIED
             if gm_fmt == ImgFmt.YUV400:
-                gainmap_img = RawImage(ImgFmt.YUV400, gm_cg, ColorTransfer.UNSPECIFIED,
+                gainmap_img = RawImage(ImgFmt.YUV400, gm_cg2, ColorTransfer.UNSPECIFIED,
                                        ColorRange.FULL, gm_info.width,
                                        gm_info.height, [gain_u8[0]])
             else:
                 rgb = np.moveaxis(gain_u8, 0, -1)
-                gainmap_img = RawImage(ImgFmt.RGB888, gm_cg, ColorTransfer.UNSPECIFIED,
+                gainmap_img = RawImage(ImgFmt.RGB888, gm_cg2, ColorTransfer.UNSPECIFIED,
                                        ColorRange.FULL, gm_info.width,
                                        gm_info.height, [np.ascontiguousarray(rgb)])
         return dest, metadata, gainmap_img
+
+    def _decode_gainmap_image(self, gm_jpeg: bytes, gm_info) -> RawImage:
+        """Decode the secondary image standalone (uhdr_get_decoded_gainmap
+        support on the sRGB path, ultrahdr_api.cpp:1815-1840)."""
+        gm_cg = icc_mod.read_icc_color_gamut(gm_info.icc) if gm_info.icc \
+            else ColorGamut.UNSPECIFIED
+        planes, gm_fmt = decode_to_planes(gm_jpeg, gm_info)
+        if gm_fmt == ImgFmt.YUV400:
+            return RawImage(ImgFmt.YUV400, gm_cg, ColorTransfer.UNSPECIFIED,
+                            ColorRange.FULL, gm_info.width, gm_info.height,
+                            [planes[0]])
+        packed = decode_to_rgba(gm_jpeg, gm_info)
+        rgb = np.stack([(packed & 0xFF), (packed >> 8) & 0xFF,
+                        (packed >> 16) & 0xFF]).astype(np.uint8)
+        rgb = np.moveaxis(rgb, 0, -1)
+        return RawImage(ImgFmt.RGB888, gm_cg, ColorTransfer.UNSPECIFIED,
+                        ColorRange.FULL, gm_info.width, gm_info.height,
+                        [np.ascontiguousarray(rgb)])
 
     def apply_gainmap(self, sdr: RawImage, gain_u8: np.ndarray, gm_cg,
                       metadata: GainMapMetadata, output_ct, output_fmt,
