@@ -298,6 +298,13 @@ class UhdrEncoder(_Context):
             raise invalid_param("max content boost must be >= min")
         self._min_boost, self._max_boost = float(min_boost), float(max_boost)
 
+    def set_preset(self, preset: EncPreset):
+        self._check_not_sailed()
+        try:
+            self._preset = EncPreset(preset)
+        except ValueError:
+            raise invalid_param(f"invalid preset {preset}")
+
     def set_target_display_peak_brightness(self, nits: float):
         self._check_not_sailed()
         if not 203.0 <= nits <= 10000.0:
