@@ -29,6 +29,7 @@ from .jpeg.encoder import assemble_jpeg
 from .jpeg.tables import (STD_CHROMA_QUANT, STD_LUMA_QUANT,
                           scaled_quant_table)
 from .jpeg.dct import forward_plane
+from .ops import apply as apply_ops
 from .ops import colors, gainmap as gainmap_ops, pixel
 from .ops import tonemap as tonemap_ops
 from .types import (ColorGamut, ColorRange, ColorTransfer, GainMapMetadata,
@@ -125,6 +126,72 @@ def fetch_scan(words_dev, row_off: np.ndarray) -> bytes:
     host_words = np.asarray(jax.lax.slice(words_dev, (0,), (bucket,)))
     raw = host_words.astype(">u4", copy=False).tobytes()[:total_bytes + 4]
     return native.stuff_scan(np.frombuffer(raw, np.uint8), row_off)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "sampling_key", "gm_channels", "scale_k", "out_ct", "sdr_cg",
+    "hdr_cg", "use_base_cg"))
+def _fused_decode(base_coeffs, base_qts, gm_coeffs, gm_qts, meta_arrays,
+                  weight, *, h: int, w: int, sampling_key: str,
+                  gm_channels: int, scale_k: int, out_ct: ColorTransfer,
+                  sdr_cg: ColorGamut, hdr_cg: ColorGamut, use_base_cg: bool):
+    """Device half of decode as ONE program: dequant + IDCT of base and
+    gain map + apply-gainmap + output packing (the jpegr.cpp:1384-1699
+    pipeline with the entropy decode left on host).  Replaces three
+    separate per-plane IDCT programs + a separate apply program (and their
+    intermediate host round trips)."""
+    from .jpeg.dct import inverse_plane
+    from .jpeg.decoder import _ycc_to_rgb
+    from .ops import pixel as pixel_ops
+
+    hf, vf = {"444": (1, 1), "422": (2, 1), "420": (2, 2),
+              "440": (1, 2)}[sampling_key]
+    planes = []
+    for i, (c, q) in enumerate(zip(base_coeffs, base_qts)):
+        pw = -(-w // (hf if i else 1))
+        ph = -(-h // (vf if i else 1))
+        planes.append(inverse_plane(c, q, ph, pw))
+    sdr_yuv = pixel_ops.unpack_yuv8(planes[0], planes[1], planes[2],
+                                    hf, vf, h, w)
+
+    mh, mw = h // scale_k, w // scale_k
+    if gm_channels == 1:
+        gm_u8 = inverse_plane(gm_coeffs[0], gm_qts[0], mh, mw)[None]
+    else:
+        gy = inverse_plane(gm_coeffs[0], gm_qts[0], mh, mw)
+        gcb = inverse_plane(gm_coeffs[1], gm_qts[1], mh, mw)
+        gcr = inverse_plane(gm_coeffs[2], gm_qts[2], mh, mw)
+        gm_u8 = _ycc_to_rgb(gy, gcb, gcr, "444", mh, mw)
+
+    packed = apply_ops.apply_gainmap_core(
+        sdr_yuv, gm_u8, meta_arrays, scale_k=scale_k, weight=weight,
+        out_ct=out_ct, sdr_cg=sdr_cg, hdr_cg=hdr_cg,
+        use_base_cg=use_base_cg)
+    return packed, gm_u8
+
+
+def decode_coefficients(data: bytes, info):
+    """Host Huffman decode to MCU-padded coefficient arrays + natural-order
+    quant tables per component (the jpeg/decoder.py front half, without the
+    device IDCT)."""
+    from .jpeg import native as jnative
+    from .jpeg.decoder import _validate, get_output_sampling_format
+    _validate(info)
+    fmt = get_output_sampling_format(info) if info.num_components > 1 \
+        else ImgFmt.YUV400
+    hmax = max(c.h for c in info.components)
+    vmax = max(c.v for c in info.components)
+    mcus_w = -(-info.width // (8 * hmax))
+    mcus_h = -(-info.height // (8 * vmax))
+    comps = [{"h": c.h, "v": c.v, "dc_tbl": c.dc_tbl, "ac_tbl": c.ac_tbl}
+             for c in info.components]
+    dc = [info.dc_tables.get(i) for i in range(4)]
+    ac = [info.ac_tables.get(i) for i in range(4)]
+    coeffs, _ = jnative.decode_scan(data[info.scan_offset:], comps, mcus_w,
+                                    mcus_h, dc, ac, info.restart_interval)
+    qts = [np.asarray(info.qtables[c.qtbl], np.int32)
+           for c in info.components]
+    return coeffs, qts, fmt
 
 
 def encode_api0_p010_pipelined(jr, imgs, quality: int = 95,

@@ -437,7 +437,7 @@ class JpegR:
 
     def decode(self, data: bytes, output_ct=ColorTransfer.HLG,
                output_fmt=ImgFmt.RGBA1010102, max_display_boost: float = 3.4028235e38,
-               return_gainmap: bool = False):
+               return_gainmap: bool = False, use_fused: bool = True):
         """decodeJPEGR (jpegr.cpp:1384-1446).
 
         Returns (RawImage dest, GainMapMetadata, gainmap RawImage | None)."""
@@ -466,9 +466,20 @@ class JpegR:
                 gainmap_img = self._decode_gainmap_image(gm_jpeg, gm_info)
             return dest, metadata, gainmap_img
 
-        planes, base_fmt = decode_to_planes(primary, pinfo)
         sdr_cg = icc_mod.read_icc_color_gamut(pinfo.icc) if pinfo.icc \
             else ColorGamut.UNSPECIFIED
+        gm_cg0 = icc_mod.read_icc_color_gamut(gm_info.icc) if gm_info.icc \
+            else ColorGamut.UNSPECIFIED
+        fused_out = self._try_decode_fused(
+            primary, pinfo, gm_jpeg, gm_info, metadata, output_ct,
+            max_display_boost, sdr_cg, gm_cg0) if use_fused else None
+        if fused_out is not None:
+            dest, gainmap_img = fused_out
+            if not return_gainmap:
+                gainmap_img = None
+            return dest, metadata, gainmap_img
+
+        planes, base_fmt = decode_to_planes(primary, pinfo)
         gm_planes, gm_fmt = decode_to_planes(gm_jpeg, gm_info)
         gm_cg = icc_mod.read_icc_color_gamut(gm_info.icc) if gm_info.icc \
             else ColorGamut.UNSPECIFIED
@@ -517,6 +528,81 @@ class JpegR:
         return RawImage(ImgFmt.RGB888, gm_cg, ColorTransfer.UNSPECIFIED,
                         ColorRange.FULL, gm_info.width, gm_info.height,
                         [np.ascontiguousarray(rgb)])
+
+    def _try_decode_fused(self, primary, pinfo, gm_jpeg, gm_info, metadata,
+                          output_ct, max_display_boost, sdr_cg, gm_cg):
+        """Single-program decode fast path (fused.py _fused_decode): host
+        Huffman -> one device program (IDCT base + gainmap + apply + pack).
+
+        Returns (dest RawImage, gainmap RawImage) or None when the input
+        needs the general path (fractional map scale, aspect mismatch,
+        unusual sampling, progressive, ...)."""
+        from . import fused as fused_mod
+        from .jpeg.decoder import get_output_sampling_format
+        output_ct = ColorTransfer(output_ct)
+        if output_ct not in (ColorTransfer.HLG, ColorTransfer.PQ,
+                             ColorTransfer.LINEAR):
+            return None
+        try:
+            if pinfo.progressive or gm_info.progressive:
+                return None
+            if pinfo.num_components != 3 or gm_info.num_components not in (1, 3):
+                return None
+            base_fmt = get_output_sampling_format(pinfo)
+            key = {ImgFmt.YUV444: "444", ImgFmt.YUV440: "440",
+                   ImgFmt.YUV422: "422", ImgFmt.YUV420: "420"}.get(base_fmt)
+            if key is None:
+                return None
+            if gm_info.num_components == 3:
+                if any(c.h != 1 or c.v != 1 for c in gm_info.components):
+                    return None
+            w, h = pinfo.width, pinfo.height
+            mw, mh = gm_info.width, gm_info.height
+            if mw == 0 or mh == 0 or w % mw or h % mh or w // mw != h // mh:
+                return None
+            scale_k = w // mw
+        except Exception:
+            return None
+
+        s_cg = ColorGamut(sdr_cg)
+        if s_cg == ColorGamut.UNSPECIFIED:
+            s_cg = ColorGamut.BT709
+        h_cg = ColorGamut(gm_cg)
+        if h_cg == ColorGamut.UNSPECIFIED:
+            h_cg = s_cg
+
+        base_coeffs, base_qts, _ = fused_mod.decode_coefficients(primary, pinfo)
+        gm_coeffs, gm_qts, _ = fused_mod.decode_coefficients(gm_jpeg, gm_info)
+        weight = apply_ops.gainmap_weight(
+            max_display_boost, float(metadata.hdr_capacity_min),
+            float(metadata.hdr_capacity_max))
+        packed, gm_u8 = fused_mod._fused_decode(
+            [jnp.asarray(c) for c in base_coeffs],
+            [jnp.asarray(q) for q in base_qts],
+            [jnp.asarray(c) for c in gm_coeffs],
+            [jnp.asarray(q) for q in gm_qts],
+            apply_ops.metadata_to_arrays(metadata), np.float32(weight),
+            h=h, w=w, sampling_key=key, gm_channels=gm_info.num_components,
+            scale_k=scale_k, out_ct=output_ct, sdr_cg=s_cg, hdr_cg=h_cg,
+            use_base_cg=bool(metadata.use_base_cg))
+        packed = _to_np(packed)
+        gm_u8 = _to_np(gm_u8)
+        if output_ct == ColorTransfer.LINEAR:
+            dest = RawImage(ImgFmt.RGBAF16, h_cg, output_ct, ColorRange.FULL,
+                            w, h, [packed])
+        else:
+            dest = RawImage(ImgFmt.RGBA1010102, h_cg, output_ct,
+                            ColorRange.FULL, w, h, [packed])
+        if gm_info.num_components == 1:
+            gm_img = RawImage(ImgFmt.YUV400, ColorGamut(gm_cg),
+                              ColorTransfer.UNSPECIFIED, ColorRange.FULL,
+                              mw, mh, [gm_u8[0]])
+        else:
+            rgb = np.moveaxis(gm_u8, 0, -1)
+            gm_img = RawImage(ImgFmt.RGB888, ColorGamut(gm_cg),
+                              ColorTransfer.UNSPECIFIED, ColorRange.FULL,
+                              mw, mh, [np.ascontiguousarray(rgb)])
+        return dest, gm_img
 
     def apply_gainmap(self, sdr: RawImage, gain_u8: np.ndarray, gm_cg,
                       metadata: GainMapMetadata, output_ct, output_fmt,

@@ -1,0 +1,56 @@
+"""Fused single-program decode vs the general decode path."""
+
+import numpy as np
+import pytest
+
+from libultrahdr_tpu.jpegr import JpegR
+from libultrahdr_tpu.types import (ColorGamut, ColorRange, ColorTransfer,
+                                   EncPreset, ImgFmt, RawImage)
+
+
+def _encoded(w=128, h=64, scale=2, multichannel=False):
+    rs = np.random.RandomState(9)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (((np.sin(xx / 19.0) * 0.5 + 0.5) * 1023).astype(np.uint16) << 6)
+    uv = (rs.randint(300, 700, (h // 2, w)).astype(np.uint16) << 6)
+    img = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, w, h, [y, uv])
+    jr = JpegR(map_dimension_scale_factor=scale,
+               use_multi_channel_gainmap=multichannel,
+               preset=EncPreset.REALTIME)
+    return jr.encode_api0(img, quality=92)
+
+
+@pytest.mark.parametrize("multichannel", [False, True])
+@pytest.mark.parametrize("out_ct", [ColorTransfer.HLG, ColorTransfer.PQ,
+                                    ColorTransfer.LINEAR])
+def test_fused_decode_matches_general(multichannel, out_ct):
+    data = _encoded(multichannel=multichannel)
+    jr = JpegR()
+    d_f, m_f, gm_f = jr.decode(data, output_ct=out_ct, return_gainmap=True)
+    d_g, m_g, gm_g = jr.decode(data, output_ct=out_ct, return_gainmap=True,
+                               use_fused=False)
+    np.testing.assert_array_equal(np.asarray(gm_f.planes[0]),
+                                  np.asarray(gm_g.planes[0]))
+    pf, pg = np.asarray(d_f.planes[0]), np.asarray(d_g.planes[0])
+    if out_ct == ColorTransfer.LINEAR:
+        # u16 half-float components
+        np.testing.assert_array_equal(pf, pg)
+    else:
+        diff = 0
+        for s in (0, 10, 20):
+            diff = max(diff, int(np.abs(
+                ((pf >> s) & 0x3FF).astype(np.int64)
+                - ((pg >> s) & 0x3FF).astype(np.int64)).max()))
+        assert diff <= 1  # cross-program float reassociation headroom
+
+
+def test_fused_decode_scale1():
+    data = _encoded(scale=1)
+    jr = JpegR()
+    d_f, _, _ = jr.decode(data, output_ct=ColorTransfer.HLG)
+    d_g, _, _ = jr.decode(data, output_ct=ColorTransfer.HLG, use_fused=False)
+    pf, pg = np.asarray(d_f.planes[0]), np.asarray(d_g.planes[0])
+    for s in (0, 10, 20):
+        assert int(np.abs(((pf >> s) & 0x3FF).astype(np.int64)
+                          - ((pg >> s) & 0x3FF).astype(np.int64)).max()) <= 1
