@@ -69,6 +69,26 @@ def apply_gainmap_core(sdr_yuv, gain_u8, metadata_arrays, *, scale_k: int,
     Output dtype: uint64 RGBAF16 (LINEAR) or uint32 RGBA1010102 (HLG/PQ)
     (jpegr.cpp:1636-1680)."""
     h, w = sdr_yuv.shape[1], sdr_yuv.shape[2]
+    out_ct_e = ColorTransfer(out_ct)
+    if (scale_k == 1 and jax.default_backend() != "cpu"
+            and out_ct_e in (ColorTransfer.HLG, ColorTransfer.PQ,
+                             ColorTransfer.LINEAR)):
+        # TPU: tile-resident Pallas kernel (ops/pallas_apply.py), the GLES
+        # shader analog; math identical, transcendentals may differ by 1 ulp
+        from . import pallas_apply
+        g = gain_u8
+        if g.shape[0] == 1:
+            g = jnp.broadcast_to(g, (3,) + g.shape[1:])
+        rows = jnp.stack([
+            jnp.asarray(metadata_arrays["gamma"], jnp.float32),
+            jnp.asarray(metadata_arrays["min_content_boost"], jnp.float32),
+            jnp.asarray(metadata_arrays["max_content_boost"], jnp.float32),
+            jnp.asarray(metadata_arrays["offset_sdr"], jnp.float32),
+            jnp.asarray(metadata_arrays["offset_hdr"], jnp.float32)])
+        return pallas_apply.apply_gainmap_pallas(
+            sdr_yuv, g.astype(jnp.float32) / 255.0, rows,
+            jnp.asarray(weight, jnp.float32), out_ct=out_ct_e,
+            sdr_cg=sdr_cg, hdr_cg=hdr_cg, use_base_cg=use_base_cg)
     # JPEG-decoded base: always Rec.601 YUV coefficients (jpegr.cpp:1592)
     rgb_gamma = colors.yuv_to_rgb(sdr_yuv, colors.P3_YUV2RGB)
     rgb_sdr = colors.srgb_inv_oetf(
