@@ -243,12 +243,15 @@ def encode_api0_p010_fused(jr, img, quality: int, exif: bytes | None) -> bytes:
 def _assemble_api0_p010(jr, img, quality: int, exif: bytes | None,
                         base_words, base_off_d, gm_words, gm_off_d,
                         scale: int, use_base_cg: bool) -> bytes:
+    from .utils import stage
     ct = ColorTransfer(img.ct)
     cg = ColorGamut(img.cg)
-    base_off = np.asarray(base_off_d)
-    gm_off = np.asarray(gm_off_d)
-    base_scan = fetch_scan(base_words, base_off)
-    gm_scan = fetch_scan(gm_words, gm_off)
+    with stage("encode.fetch_offsets"):
+        base_off = np.asarray(base_off_d)
+        gm_off = np.asarray(gm_off_d)
+    with stage("encode.fetch_scans"):
+        base_scan = fetch_scan(base_words, base_off)
+        gm_scan = fetch_scan(gm_words, gm_off)
 
     # one-pass metadata is closed-form (jpegr.cpp:712-828)
     hdr_white = colors.reference_display_peak_nits(ct)

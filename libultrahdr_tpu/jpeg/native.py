@@ -147,5 +147,7 @@ def decode_scan(data: bytes, comps, mcus_w: int, mcus_h: int, dc_tables,
         mcus_w, mcus_h, restart_interval,
         dcb.ctypes.data, dcv.ctypes.data, acb.ctypes.data, acv.ctypes.data)
     if consumed < 0:
-        raise ValueError(f"entropy decode failed: {consumed}")
+        from ..errors import UhdrError, UhdrErrorCode
+        raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                        f"entropy decode failed: {consumed}")
     return outs, int(consumed)
