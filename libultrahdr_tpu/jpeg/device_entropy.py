@@ -205,28 +205,97 @@ def pack_scan_device(coeff_planes, layout: ScanLayout):
     pays = jnp.concatenate([pays, pad_pay[:, None]], axis=-1)
     lens = jnp.concatenate([lens, pad_len[:, None]], axis=-1)
 
-    # ---- global bit offsets + scatter into u32 words --------------------
+    # ---- global bit offsets --------------------------------------------
     flat_pay = pays.reshape(-1)
     flat_len = lens.reshape(-1)
     off = jnp.cumsum(flat_len, dtype=jnp.int32) - flat_len
 
-    w = (off >> 5).astype(jnp.int32)
-    b = off & 31
-    rem = 32 - b - flat_len
-    sh_hi = jnp.clip(rem, 0, 31).astype(jnp.uint32)
-    sh_dn = jnp.clip(-rem, 0, 31).astype(jnp.uint32)
-    hi = jnp.where(rem >= 0, flat_pay << sh_hi, flat_pay >> sh_dn)
-    lo = jnp.where(rem < 0,
-                   flat_pay << jnp.clip(32 + rem, 0, 31).astype(jnp.uint32),
-                   jnp.uint32(0))
-    words = jnp.zeros((layout.cap_words,), jnp.uint32)
-    words = words.at[w].add(hi, mode="drop", indices_are_sorted=True)
-    words = words.at[w + 1].add(lo, mode="drop", indices_are_sorted=True)
-
-    # row byte offsets: bit offset of each row's first slot / 8, plus total
+    # ---- pre-combine groups of 4 adjacent slots -------------------------
+    # XLA TPU lowers scatter-add nearly serially (~11 ns/update), so the
+    # scatter count dominates the whole encoder.  Four slots (<=27 bits
+    # each) concatenate into a <=108-bit MSB-aligned (4 x u32, len) segment
+    # with pure vector shifts; the segment then needs 5 scatter updates
+    # instead of the slots' 8.
+    # row/total offsets must come from the un-padded slot arrays
     slots_per_row = bpr * 65 + 1
     row_start = off.reshape(n_rows, slots_per_row)[:, 0]
     total_bits = off[-1] + flat_len[-1]
+
+    n_flat = flat_pay.shape[0]
+    pad_slots = (-n_flat) % 4
+    if pad_slots:
+        flat_pay = jnp.concatenate(
+            [flat_pay, jnp.zeros((pad_slots,), jnp.uint32)])
+        flat_len = jnp.concatenate(
+            [flat_len, jnp.zeros((pad_slots,), jnp.int32)])
+        off = jnp.concatenate(
+            [off, jnp.full((pad_slots,), off[-1] + flat_len[-1 - pad_slots],
+                           jnp.int32)])
+    gp = flat_pay.reshape(-1, 4)
+    gl = flat_len.reshape(-1, 4)
+    goff = off.reshape(-1, 4)[:, 0]
+
+    def _msb2(pay, length):
+        """(pay, len<=32) -> 2-word MSB-aligned segment."""
+        sh = jnp.clip(32 - length, 0, 31).astype(jnp.uint32)
+        return pay << sh, jnp.zeros_like(pay)
+
+    def _append2(a0, a1, alen, pay, length):
+        """Append a <=27-bit code to a <=37-bit 2-word segment (result
+        <=64 bits)."""
+        b = alen & 31
+        word1 = alen >= 32
+        rem = 32 - b - length
+        sh_hi = jnp.clip(rem, 0, 31).astype(jnp.uint32)
+        sh_dn = jnp.clip(-rem, 0, 31).astype(jnp.uint32)
+        sh_lo = jnp.clip(32 + rem, 0, 31).astype(jnp.uint32)
+        hi = jnp.where(rem >= 0, pay << sh_hi, pay >> sh_dn)
+        lo = jnp.where(rem < 0, pay << sh_lo, jnp.uint32(0))
+        a0 = a0 | jnp.where(word1, jnp.uint32(0), hi)
+        a1 = a1 | jnp.where(word1, hi, lo)
+        return a0, a1, alen + length
+
+    def _append4(a, alen, b, blen):
+        """Concat two <=54-bit 2-word segments into a 4-word segment."""
+        out = [a[0], a[1], jnp.zeros_like(a[0]), jnp.zeros_like(a[0])]
+        wshift = alen >> 5          # 0 or 1 (alen <= 54)
+        s = (alen & 31).astype(jnp.uint32)
+        ns = (32 - s) & 31
+        ns = ns.astype(jnp.uint32)
+        nz = s != 0
+        b_sh = [jnp.where(nz, b[0] >> s, b[0]),
+                jnp.where(nz, (b[1] >> s) | (b[0] << ns), b[1]),
+                jnp.where(nz, b[1] << ns, jnp.uint32(0))]
+        for i, bw in enumerate(b_sh):
+            for base in (0, 1):
+                j = i + base
+                if j < 4:
+                    out[j] = out[j] | jnp.where(wshift == base, bw,
+                                                jnp.uint32(0))
+        return out, alen + blen
+
+    s0 = _msb2(gp[:, 0], gl[:, 0])
+    a0, a1, alen = _append2(s0[0], s0[1], gl[:, 0], gp[:, 1], gl[:, 1])
+    t0 = _msb2(gp[:, 2], gl[:, 2])
+    b0, b1, blen = _append2(t0[0], t0[1], gl[:, 2], gp[:, 3], gl[:, 3])
+    seg, seg_len = _append4([a0, a1], alen, [b0, b1], blen)
+
+    # ---- place 4-word segments at their global bit offsets --------------
+    w = (goff >> 5).astype(jnp.int32)
+    s = (goff & 31).astype(jnp.uint32)
+    ns = ((32 - s) & 31).astype(jnp.uint32)
+    nz = s != 0
+    placed = [jnp.where(nz, seg[0] >> s, seg[0])]
+    for i in range(1, 4):
+        placed.append(jnp.where(nz, (seg[i] >> s) | (seg[i - 1] << ns),
+                                seg[i]))
+    placed.append(jnp.where(nz, seg[3] << ns, jnp.uint32(0)))
+
+    words = jnp.zeros((layout.cap_words,), jnp.uint32)
+    for d, p in enumerate(placed):
+        words = words.at[w + d].add(p, mode="drop", indices_are_sorted=True)
+
+    # row byte offsets: bit offset of each row's first slot / 8, plus total
     row_bytes = jnp.concatenate([row_start >> 3, (total_bits >> 3)[None]])
     return words, row_bytes.astype(jnp.int32)
 
