@@ -76,6 +76,40 @@ def _pack_planes(planes, sampling, qtables):
     return words, row_off, layout
 
 
+def _unpack_10bit(words, n: int):
+    """Inverse of native uhdr_pack_p010_10bit: (m*10,) u16 dense 10-bit LE
+    stream -> (n,) uint16 P010-style samples (value in the 10 MSB)."""
+    w32 = words.reshape(-1, 10).astype(jnp.uint32)
+    vals = []
+    for k in range(16):
+        pos = 10 * k
+        a, s = pos >> 4, pos & 15
+        v = w32[:, a] >> s
+        if s + 10 > 16:
+            v = v | (w32[:, a + 1] << (16 - s))
+        vals.append(v & 0x3FF)
+    flat = jnp.stack(vals, axis=1).reshape(-1)[:n]
+    return (flat << 6).astype(jnp.uint16)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "cg", "ct", "rng", "scale", "multichannel", "gamma",
+    "quality", "map_quality", "use_base_cg"))
+def _fused_api0_p010_packed(y_bits, uv_bits, *, h: int, w: int,
+                            cg: ColorGamut, ct: ColorTransfer,
+                            rng: ColorRange, scale: int, multichannel: bool,
+                            gamma: float, quality: int, map_quality: int,
+                            use_base_cg: bool):
+    """Like _fused_api0_p010 but takes 10-bit-packed uploads (37.5% less
+    host->device traffic on the bandwidth-bound link)."""
+    y = _unpack_10bit(y_bits, h * w).reshape(h, w)
+    uv = _unpack_10bit(uv_bits, (h // 2) * w).reshape(h // 2, w)
+    return _fused_api0_p010_body(y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
+                                 multichannel=multichannel, gamma=gamma,
+                                 quality=quality, map_quality=map_quality,
+                                 use_base_cg=use_base_cg)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "cg", "ct", "rng", "scale", "multichannel", "gamma", "quality",
     "map_quality", "use_base_cg"))
@@ -83,6 +117,16 @@ def _fused_api0_p010(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
                      rng: ColorRange, scale: int, multichannel: bool,
                      gamma: float, quality: int, map_quality: int,
                      use_base_cg: bool):
+    return _fused_api0_p010_body(y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
+                                 multichannel=multichannel, gamma=gamma,
+                                 quality=quality, map_quality=map_quality,
+                                 use_base_cg=use_base_cg)
+
+
+def _fused_api0_p010_body(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
+                          rng: ColorRange, scale: int, multichannel: bool,
+                          gamma: float, quality: int, map_quality: int,
+                          use_base_cg: bool):
     """P010 HDR -> (base_words, base_row_off, gm_words, gm_row_off)."""
     h, w = y.shape
     hdr_vals = pixel.unpack_p010(y, uv, rng, h, w)
@@ -217,8 +261,10 @@ def _dispatch_api0_p010(jr, img, quality: int):
         scale = s // 8 if s >= 8 else 1
         jr.map_dimension_scale_factor = scale
     use_base_cg = (cg != ColorGamut.BT2100) or jr.write_xmp
-    out = _fused_api0_p010(
-        jnp.asarray(img.planes[0]), jnp.asarray(img.planes[1]),
+    y_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[0]))
+    uv_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[1]))
+    out = _fused_api0_p010_packed(
+        jnp.asarray(y_bits), jnp.asarray(uv_bits), h=img.h, w=img.w,
         cg=cg, ct=ct, rng=rng, scale=scale,
         multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
         quality=int(quality), map_quality=jr.map_compress_quality,

@@ -50,6 +50,9 @@ def get_lib():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_pack_p010_10bit.restype = None
+            lib.uhdr_pack_p010_10bit.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
             lib.uhdr_stuff_scan.restype = ctypes.c_int64
             lib.uhdr_stuff_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
@@ -107,6 +110,20 @@ def encode_scan(comps, mcus_w: int, mcus_h: int, dc_tables, ac_tables,
     if written < 0:
         raise RuntimeError(f"entropy encode failed: {written}")
     return out[:written].tobytes()
+
+
+def pack_p010_10bit(arr: np.ndarray) -> np.ndarray:
+    """Pack the 10 MSB-resident bits of a uint16 array into a dense 10-bit
+    little-endian stream: (n,) u16 -> (ceil(n/16)*10,) u16."""
+    lib = get_lib()
+    flat = np.ascontiguousarray(arr, np.uint16).reshape(-1)
+    n = flat.size
+    pad = (-n) % 16
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.uint16)])
+    out = np.empty((flat.size // 16) * 10, np.uint16)
+    lib.uhdr_pack_p010_10bit(flat.ctypes.data, flat.size, out.ctypes.data)
+    return out
 
 
 def stuff_scan(row_bytes: np.ndarray, row_offsets: np.ndarray) -> bytes:
