@@ -446,4 +446,190 @@ int64_t uhdr_decode_scan(const uint8_t* data, int64_t size,
   return br.pos;
 }
 
+// ---------------------------------------------------------------------------
+// Progressive scan decode (T.81 G.2, successive approximation + spectral
+// selection), one call per SOS.  Python walks the segment structure and
+// passes each scan's entropy data; coefficient arrays accumulate in place.
+//
+// scan_meta per scan component: {comp_index, dc_tbl, ac_tbl, sbw, sbh}
+// where sbw/sbh are the component's non-interleaved block dims
+// (ceil(ceil(w*h_i/hmax)/8)); comp_meta per image component as in
+// uhdr_decode_scan (bw = full MCU-padded row stride).
+int64_t uhdr_decode_progressive_scan(
+    const uint8_t* data, int64_t size, int16_t** coeffs,
+    const int32_t* comp_meta, int num_comps_image, const int32_t* scan_meta,
+    int num_comps_scan, int ss, int se, int ah, int al, int mcus_w,
+    int mcus_h, int restart_interval, const uint8_t* dc_bits,
+    const uint8_t* dc_vals, const uint8_t* ac_bits, const uint8_t* ac_vals) {
+  if (num_comps_scan < 1 || num_comps_scan > 4) return -2;
+  if (ss < 0 || se > 63 || ss > se) return -2;
+  if (ss > 0 && num_comps_scan != 1) return -2;
+  DecTable dc_t[4], ac_t[4];
+  for (int i = 0; i < 4; i++) {
+    build_dec_table(dc_bits + 16 * i, dc_vals + 256 * i, &dc_t[i]);
+    build_dec_table(ac_bits + 16 * i, ac_vals + 256 * i, &ac_t[i]);
+  }
+  const CompMeta* cm = (const CompMeta*)comp_meta;
+  struct ScanComp {
+    int idx, dc_tbl, ac_tbl, sbw, sbh;
+  };
+  const ScanComp* sc = (const ScanComp*)scan_meta;
+  for (int i = 0; i < num_comps_scan; i++) {
+    if (sc[i].idx < 0 || sc[i].idx >= num_comps_image) return -2;
+  }
+
+  BitReader br{data, size, 0, 0, 0, false};
+  int pred[4] = {0, 0, 0, 0};
+  uint32_t eobrun = 0;
+  int mcus_since_restart = 0;
+  const int p1 = 1 << al;
+  const int m1 = -(1 << al);
+
+  // total "MCU" count: interleaved uses the image grid; a non-interleaved
+  // scan's MCU is one block of that component (T.81 G.2.4)
+  bool interleaved = num_comps_scan > 1;
+  int total_w = interleaved ? mcus_w : sc[0].sbw;
+  int total_h = interleaved ? mcus_h : sc[0].sbh;
+
+  auto restart_if_due = [&]() -> bool {
+    if (restart_interval > 0 && mcus_since_restart == restart_interval) {
+      br.byte_align_and_sync();
+      if (br.pos + 1 < br.size && br.data[br.pos] == 0xFF &&
+          br.data[br.pos + 1] >= 0xD0 && br.data[br.pos + 1] <= 0xD7) {
+        br.pos += 2;
+        br.truncated = false;
+      }
+      for (int i = 0; i < 4; i++) pred[i] = 0;
+      eobrun = 0;
+      mcus_since_restart = 0;
+    }
+    return true;
+  };
+
+  auto decode_dc_block = [&](int16_t* blk, int c) -> bool {
+    if (ah == 0) {
+      int s = decode_symbol(br, dc_t[sc[c].dc_tbl]);
+      if (s < 0 || s > 15) return false;
+      int diff = s ? huff_extend((int)br.get(s), s) : 0;
+      pred[c] += diff;
+      blk[0] = (int16_t)(pred[c] * p1);
+    } else {
+      if (br.get(1)) blk[0] = (int16_t)(blk[0] | p1);
+    }
+    return true;
+  };
+
+  auto decode_ac_first = [&](int16_t* blk) -> bool {
+    if (eobrun > 0) {
+      eobrun--;
+      return true;
+    }
+    int k = ss;
+    while (k <= se) {
+      int rs = decode_symbol(br, ac_t[sc[0].ac_tbl]);
+      if (rs < 0) return false;
+      int r = rs >> 4, s = rs & 15;
+      if (s == 0) {
+        if (r == 15) {
+          k += 16;
+          continue;
+        }
+        eobrun = (1u << r) - 1;
+        if (r) eobrun += br.get(r);
+        break;
+      }
+      k += r;
+      if (k > se) return false;
+      blk[k] = (int16_t)(huff_extend((int)br.get(s), s) * p1);
+      k++;
+    }
+    return true;
+  };
+
+  auto refine_nonzero = [&](int16_t* blk, int k) {
+    // correction bit for an already-nonzero coefficient (G.1.2.3)
+    if (br.get(1)) {
+      if ((blk[k] & p1) == 0) {
+        blk[k] = (int16_t)(blk[k] + (blk[k] >= 0 ? p1 : m1));
+      }
+    }
+  };
+
+  auto decode_ac_refine = [&](int16_t* blk) -> bool {
+    // T.81 G.1.2.3 successive-approximation AC refinement.  Note the EOB
+    // run here counts the CURRENT block too (set to 1<<r, decremented by
+    // the tail-correction pass below), unlike the first-scan encoding.
+    int k = ss;
+    if (eobrun == 0) {
+      while (k <= se) {
+        int rs = decode_symbol(br, ac_t[sc[0].ac_tbl]);
+        if (rs < 0) return false;
+        int r = rs >> 4, s = rs & 15;
+        int newval = 0;
+        if (s == 0) {
+          if (r != 15) {
+            eobrun = 1u << r;
+            if (r) eobrun += br.get(r);
+            break;
+          }
+          // r == 15: ZRL — skip 16 zero-history positions
+        } else {
+          if (s != 1) return false;
+          newval = br.get(1) ? p1 : m1;
+        }
+        while (k <= se) {
+          if (blk[k] != 0) {
+            refine_nonzero(blk, k);
+          } else {
+            if (--r < 0) break;
+          }
+          k++;
+        }
+        if (newval && k <= se) blk[k] = (int16_t)newval;
+        k++;
+      }
+    }
+    if (eobrun > 0) {
+      while (k <= se) {
+        if (blk[k] != 0) refine_nonzero(blk, k);
+        k++;
+      }
+      eobrun--;
+    }
+    return true;
+  };
+
+  for (int my = 0; my < total_h; my++) {
+    for (int mx = 0; mx < total_w; mx++) {
+      if (!restart_if_due()) return -4;
+      if (interleaved) {
+        for (int c = 0; c < num_comps_scan; c++) {
+          const CompMeta& m = cm[sc[c].idx];
+          for (int by = 0; by < m.v; by++) {
+            for (int bx = 0; bx < m.h; bx++) {
+              int row = my * m.v + by, col = mx * m.h + bx;
+              int16_t* blk = coeffs[sc[c].idx] + ((int64_t)row * m.bw + col) * 64;
+              if (ss == 0) {
+                if (!decode_dc_block(blk, c)) return -3;
+              }
+            }
+          }
+        }
+      } else {
+        const CompMeta& m = cm[sc[0].idx];
+        int16_t* blk = coeffs[sc[0].idx] + ((int64_t)my * m.bw + mx) * 64;
+        if (ss == 0) {
+          if (!decode_dc_block(blk, 0)) return -3;
+        } else if (ah == 0) {
+          if (!decode_ac_first(blk)) return -3;
+        } else {
+          if (!decode_ac_refine(blk)) return -3;
+        }
+      }
+      mcus_since_restart++;
+    }
+  }
+  return br.pos;
+}
+
 }  // extern "C"

@@ -54,6 +54,7 @@ class JpegInfo:
     restart_interval: int = 0
     progressive: bool = False
     scan_offset: int = 0
+    scans: list = dataclasses.field(default_factory=list)
     exif: bytes | None = None
     exif_offset: int = -1
     xmp: bytes | None = None
@@ -63,6 +64,21 @@ class JpegInfo:
 
 def _u16(data: bytes, pos: int) -> int:
     return (data[pos] << 8) | data[pos + 1]
+
+
+def _skip_entropy(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next true marker (skipping
+    stuffed 0xFF00 and RST markers)."""
+    n = len(data)
+    while True:
+        nxt = data.find(b"\xff", pos)
+        if nxt < 0 or nxt + 1 >= n:
+            return n
+        m = data[nxt + 1]
+        if m == 0x00 or 0xD0 <= m <= 0xD7 or m == 0xFF:
+            pos = nxt + 1 if m == 0xFF else nxt + 2
+            continue
+        return nxt
 
 
 def parse_jpeg(data: bytes, parse_only: bool = False) -> JpegInfo:
@@ -144,15 +160,33 @@ def parse_jpeg(data: bytes, parse_only: bool = False) -> JpegInfo:
         elif marker == 0xDA:  # SOS
             nc = payload[0]
             q = 1
+            scan_comps = []
             for _ in range(nc):
                 cid = payload[q]
-                for comp in info.components:
+                for ci, comp in enumerate(info.components):
                     if comp.comp_id == cid:
                         comp.dc_tbl = payload[q + 1] >> 4
                         comp.ac_tbl = payload[q + 1] & 15
+                        scan_comps.append((ci, comp.dc_tbl, comp.ac_tbl))
                 q += 2
-            info.scan_offset = pos + 2 + seglen
-            break
+            entropy_start = pos + 2 + seglen
+            if not info.scans:
+                info.scan_offset = entropy_start
+            if not info.progressive:
+                break
+            # progressive: record the scan (with the table set active NOW —
+            # DHT may redefine tables between scans) and skip entropy data
+            end = _skip_entropy(data, entropy_start)
+            info.scans.append({
+                "offset": entropy_start, "end": end, "comps": scan_comps,
+                "ss": payload[q], "se": payload[q + 1],
+                "ah": payload[q + 2] >> 4, "al": payload[q + 2] & 15,
+                "dc_tables": dict(info.dc_tables),
+                "ac_tables": dict(info.ac_tables),
+                "restart_interval": info.restart_interval,
+            })
+            pos = end
+            continue
         pos += 2 + seglen
     if info.width == 0 and not parse_only:
         raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR, "no SOF found")
@@ -166,8 +200,6 @@ def _validate(info: JpegInfo):
             UhdrErrorCode.UHDR_CODEC_UNSUPPORTED_FEATURE,
             f"jpeg dimensions {info.width}x{info.height} outside "
             f"[{MIN_WIDTH}..{MAX_DIMENSION}]")
-    if info.progressive:
-        raise unsupported("progressive jpeg decode not yet supported")
     if info.num_components not in (1, 3):
         raise unsupported(f"unsupported component count {info.num_components}")
 
@@ -189,6 +221,33 @@ def get_output_sampling_format(info: JpegInfo) -> ImgFmt:
     return table[key]
 
 
+def _decode_progressive_coeffs(data: bytes, info: JpegInfo, comps,
+                               mcus_w: int, mcus_h: int, hmax: int,
+                               vmax: int):
+    """Run every progressive SOS into shared coefficient arrays
+    (T.81 G.2; the role libjpeg's jdphuff.c plays for the reference)."""
+    if not info.scans:
+        raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                        "progressive stream has no scans")
+    coeff_arrays = [np.zeros((mcus_h * c.v, mcus_w * c.h, 64), np.int16)
+                    for c in info.components]
+    for scan in info.scans:
+        scan_comps = []
+        for ci, dct, act in scan["comps"]:
+            c = info.components[ci]
+            comp_w = -(-info.width * c.h // hmax)    # ceil
+            comp_h = -(-info.height * c.v // vmax)
+            scan_comps.append((ci, dct, act, -(-comp_w // 8),
+                               -(-comp_h // 8)))
+        dc = [scan["dc_tables"].get(i) for i in range(4)]
+        ac = [scan["ac_tables"].get(i) for i in range(4)]
+        native.decode_progressive_scan(
+            data[scan["offset"]:scan["end"]], coeff_arrays, comps,
+            scan_comps, scan["ss"], scan["se"], scan["ah"], scan["al"],
+            mcus_w, mcus_h, scan["restart_interval"], dc, ac)
+    return coeff_arrays
+
+
 def decode_to_planes(data: bytes, info: JpegInfo | None = None):
     """Decode to subsampled YCbCr planes (DECODE_TO_YCBCR mode).
 
@@ -203,11 +262,15 @@ def decode_to_planes(data: bytes, info: JpegInfo | None = None):
     mcus_h = -(-info.height // (8 * vmax))
     comps = [{"h": c.h, "v": c.v, "dc_tbl": c.dc_tbl, "ac_tbl": c.ac_tbl}
              for c in info.components]
-    dc_tables = [info.dc_tables.get(i) for i in range(4)]
-    ac_tables = [info.ac_tables.get(i) for i in range(4)]
-    coeff_arrays, _ = native.decode_scan(
-        data[info.scan_offset:], comps, mcus_w, mcus_h, dc_tables, ac_tables,
-        info.restart_interval)
+    if info.progressive:
+        coeff_arrays = _decode_progressive_coeffs(data, info, comps,
+                                                  mcus_w, mcus_h, hmax, vmax)
+    else:
+        dc_tables = [info.dc_tables.get(i) for i in range(4)]
+        ac_tables = [info.ac_tables.get(i) for i in range(4)]
+        coeff_arrays, _ = native.decode_scan(
+            data[info.scan_offset:], comps, mcus_w, mcus_h, dc_tables,
+            ac_tables, info.restart_interval)
     planes = []
     for i, c in enumerate(info.components):
         q = info.qtables[c.qtbl]

@@ -57,6 +57,15 @@ def get_lib():
             lib.uhdr_stuff_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_decode_progressive_scan.restype = ctypes.c_int64
+            lib.uhdr_decode_progressive_scan.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p]
             lib.uhdr_decode_scan.restype = ctypes.c_int64
             lib.uhdr_decode_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64,
@@ -140,6 +149,35 @@ def stuff_scan(row_bytes: np.ndarray, row_offsets: np.ndarray) -> bytes:
     if written < 0:
         raise RuntimeError(f"stuff_scan failed: {written}")
     return out[:written].tobytes()
+
+
+def decode_progressive_scan(data: bytes, coeff_arrays, comps, scan_comps,
+                            ss: int, se: int, ah: int, al: int,
+                            mcus_w: int, mcus_h: int, restart_interval: int,
+                            dc_tables, ac_tables):
+    """One progressive SOS (T.81 G.2); mutates coeff_arrays in place.
+
+    comps: per image component dicts {h, v} (arrays are MCU padded);
+    scan_comps: [(comp_index, dc_tbl, ac_tbl, sbw, sbh), ...]."""
+    lib = get_lib()
+    n = len(coeff_arrays)
+    ptrs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in coeff_arrays])
+    meta = np.zeros((n, 6), np.int32)
+    for i, c in enumerate(comps):
+        bh, bw = coeff_arrays[i].shape[:2]
+        meta[i] = [bw, bh, c["h"], c["v"], 0, 0]
+    smeta = np.asarray(scan_comps, np.int32).reshape(-1, 5)
+    dcb, dcv, acb, acv = _table_blobs(dc_tables, ac_tables)
+    buf = np.frombuffer(data, np.uint8)
+    rc = lib.uhdr_decode_progressive_scan(
+        buf.ctypes.data, len(data), ptrs, meta.ctypes.data, n,
+        smeta.ctypes.data, smeta.shape[0], ss, se, ah, al,
+        mcus_w, mcus_h, restart_interval,
+        dcb.ctypes.data, dcv.ctypes.data, acb.ctypes.data, acv.ctypes.data)
+    if rc < 0:
+        from ..errors import UhdrError, UhdrErrorCode
+        raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                        f"progressive scan decode failed: {rc}")
 
 
 def decode_scan(data: bytes, comps, mcus_w: int, mcus_h: int, dc_tables,

@@ -78,20 +78,24 @@ class TestJpegFixtures:
         packed = decode_to_rgba(data, info)
         assert packed.shape == (h, w)
 
-    def test_progressive_fixture_reports_unsupported(self):
-        """minnie-320x240-yuv-icc.jpg is a progressive JPEG.  Progressive
-        decode is not implemented yet (TODO); the decoder must reject it
-        with a clean UNSUPPORTED error, and parse-only mode must still
-        yield its metadata (incl. the ICC profile)."""
-        from libultrahdr_tpu.errors import UhdrError, UhdrErrorCode
-        from libultrahdr_tpu.jpeg import decode_to_planes, parse_jpeg
+    def test_progressive_fixture_decodes(self):
+        """minnie-320x240-yuv-icc.jpg is a progressive JPEG with an ICC
+        profile; the progressive path (jdphuff analog) must match libjpeg
+        within the baseline tolerance."""
+        import io
+        from PIL import Image
+        from libultrahdr_tpu.jpeg import decode_to_rgba, parse_jpeg
         data = _read("minnie-320x240-yuv-icc.jpg")
         info = parse_jpeg(data, parse_only=True)
         assert info.progressive and info.icc is not None
         assert (info.width, info.height) == (320, 240)
-        with pytest.raises(UhdrError) as e:
-            decode_to_planes(data)
-        assert e.value.code == UhdrErrorCode.UHDR_CODEC_UNSUPPORTED_FEATURE
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB")
+                         ).astype(int)
+        packed = decode_to_rgba(data)
+        ours = np.stack([(packed >> 0) & 0xFF, (packed >> 8) & 0xFF,
+                         (packed >> 16) & 0xFF], -1).astype(int)
+        diff = np.abs(ours - pil)
+        assert diff.max() <= 4 and diff.mean() < 0.5
 
     def test_decode_vs_libjpeg_pixels(self):
         """Our float IDCT + fancy-upsample decode vs libjpeg (via PIL):
