@@ -156,6 +156,156 @@ def _fused_api0_p010_body(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
     return base_words, base_off, gm_words, gm_off
 
 
+# ---------------------------------------------------------------------------
+# device replicas of the host-side SDR colorspace conversions (jpegr.py
+# convert_raw_to_ycbcr / convert_yuv_encoding), bit-matched rounding
+
+def _rgb_vals_to_yuv444_planes(rgb_vals, cg: ColorGamut):
+    """convert_raw_input_to_ycbcr without chroma sampling
+    (gainmapmath.cpp:1291-1501 RGBA8888 branch): (3,H,W) [0,1] -> 3 u8."""
+    m = colors.rgb2yuv_matrix_for_gamut(cg)
+    yuv = colors.apply_3x3(m, rgb_vals)
+    y = jnp.clip(yuv[0] * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    u = jnp.clip(yuv[1] * 255.0 + 0.5 + 128.0, 0, 255).astype(jnp.uint8)
+    v = jnp.clip(yuv[2] * 255.0 + 0.5 + 128.0, 0, 255).astype(jnp.uint8)
+    return y, u, v
+
+
+def _convert_yuv_encoding_planes(planes, fmt: ImgFmt, src_cg, dst_cg, h, w):
+    """convert_yuv_encoding (jpegr.py / transformYuv420-444,
+    gainmapmath.cpp:686-748) on device; passthrough when matrices match."""
+    m = colors.yuv_encoding_conversion_matrix(src_cg, dst_cg)
+    if m is None:
+        return planes
+    vals = pixel.unpack_yuv8(planes[0], planes[1], planes[2],
+                             2 if fmt == ImgFmt.YUV420 else 1,
+                             2 if fmt == ImgFmt.YUV420 else 1, h, w)
+    out = colors.apply_3x3(m, vals)
+    y = jnp.clip(out[0] * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    if fmt == ImgFmt.YUV420:
+        h2, w2 = (h // 2) * 2, (w // 2) * 2
+        u = jnp.clip(out[1][:h2:2, :w2:2] * 255.0 + 128.5, 0, 255) \
+            .astype(jnp.uint8)
+        v = jnp.clip(out[2][:h2:2, :w2:2] * 255.0 + 128.5, 0, 255) \
+            .astype(jnp.uint8)
+    else:
+        u = jnp.clip(out[1] * 255.0 + 128.5, 0, 255).astype(jnp.uint8)
+        v = jnp.clip(out[2] * 255.0 + 128.5, 0, 255).astype(jnp.uint8)
+    return y, u, v
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fmt", "h", "w", "cg", "ct", "scale", "multichannel", "gamma",
+    "quality", "map_quality", "use_base_cg"))
+def _fused_api0_rgb(packed, *, fmt: ImgFmt, h: int, w: int, cg: ColorGamut,
+                    ct: ColorTransfer, scale: int, multichannel: bool,
+                    gamma: float, quality: int, map_quality: int,
+                    use_base_cg: bool):
+    """API-0 for packed RGB HDR inputs (RGBA1010102 / RGBAF16): tonemap to
+    an RGBA8888 SDR (jpegr.cpp:2040-2042), gain map from it, base JPEG as
+    YUV444 (convert_raw_input_to_ycbcr without chroma sampling)."""
+    if fmt == ImgFmt.RGBA1010102:
+        hdr_vals = pixel.unpack_rgba1010102(packed)
+    else:
+        hdr_vals = pixel.unpack_rgbaf16(packed)
+    sdr_packed = tonemap_ops.tonemap_to_rgba8888(hdr_vals, fmt, cg, ct)
+    sdr_vals = pixel.unpack_rgba8888(sdr_packed)
+
+    max_boost = colors.reference_display_peak_nits(ct) / colors.SDR_WHITE_NITS
+    gm = gainmap_ops.generate_gainmap_onepass(
+        sdr_vals, hdr_vals, sdr_fmt=ImgFmt.RGBA8888, hdr_fmt=fmt,
+        sdr_cg=ColorGamut.DISPLAY_P3, hdr_cg=cg, ct=ct, scale=scale,
+        multichannel=multichannel, gamma=gamma, use_luminance=False,
+        sdr_is_601=False, use_base_cg=use_base_cg, max_boost=max_boost)
+
+    qluma = scaled_quant_table(STD_LUMA_QUANT, quality)
+    qchroma = scaled_quant_table(STD_CHROMA_QUANT, quality)
+    y8, u8, v8 = _rgb_vals_to_yuv444_planes(sdr_vals, ColorGamut.DISPLAY_P3)
+    base_words, base_off, _ = _pack_planes(
+        [y8, u8, v8], _SAMPLING_444, [qluma, qchroma, qchroma])
+    gm_words, gm_off = _pack_gainmap(gm, multichannel, map_quality)
+    return base_words, base_off, gm_words, gm_off
+
+
+def _pack_gainmap(gm, multichannel: bool, map_quality: int):
+    mq_luma = scaled_quant_table(STD_LUMA_QUANT, map_quality)
+    mq_chroma = scaled_quant_table(STD_CHROMA_QUANT, map_quality)
+    if multichannel:
+        gm_planes = _rgb_to_ycbcr(gm)
+        words, off, _ = _pack_planes(gm_planes, _SAMPLING_444,
+                                     [mq_luma, mq_chroma, mq_chroma])
+    else:
+        words, off, _ = _pack_planes([gm[0]], _SAMPLING_400, [mq_luma])
+    return words, off
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "hdr_fmt", "sdr_fmt", "h", "w", "hdr_cg", "sdr_cg", "ct", "rng",
+    "scale", "multichannel", "gamma", "quality", "map_quality",
+    "use_base_cg", "use_luminance", "one_pass"))
+def _fused_api1(hdr_a, hdr_b, sdr_a, sdr_b, sdr_c, *, hdr_fmt: ImgFmt,
+                sdr_fmt: ImgFmt, h: int, w: int, hdr_cg: ColorGamut,
+                sdr_cg: ColorGamut, ct: ColorTransfer, rng: ColorRange,
+                scale: int, multichannel: bool, gamma: float, quality: int,
+                map_quality: int, use_base_cg: bool, use_luminance: bool,
+                one_pass: bool):
+    """API-1 (raw HDR + raw SDR, jpegr.cpp:236-295) device stage 1.
+
+    hdr inputs: P010 (y,uv) / packed RGB (packed, unused); sdr inputs:
+    YUV420 (y,u,v) / RGBA8888 (packed, unused, unused).
+
+    One-pass: returns (base_words, base_off, gm_words, gm_off).
+    Two-pass: returns (base_words, base_off, gains, gmin, gmax) — the
+    boost-bound resolution (user suggestions, XMP channel merge,
+    jpegr.cpp:947-981) runs on host, then _fused_api1_gm quantizes."""
+    if hdr_fmt == ImgFmt.P010:
+        hdr_vals = pixel.unpack_p010(hdr_a, hdr_b, rng, h, w)
+    elif hdr_fmt == ImgFmt.RGBA1010102:
+        hdr_vals = pixel.unpack_rgba1010102(hdr_a)
+    else:
+        hdr_vals = pixel.unpack_rgbaf16(hdr_a)
+
+    qluma = scaled_quant_table(STD_LUMA_QUANT, quality)
+    qchroma = scaled_quant_table(STD_CHROMA_QUANT, quality)
+    if sdr_fmt == ImgFmt.YUV420:
+        sdr_vals = pixel.unpack_yuv8(sdr_a, sdr_b, sdr_c, 2, 2, h, w)
+        planes = _convert_yuv_encoding_planes(
+            (sdr_a, sdr_b, sdr_c), ImgFmt.YUV420, sdr_cg,
+            ColorGamut.DISPLAY_P3, h, w)
+        base_words, base_off, _ = _pack_planes(
+            list(planes), _SAMPLING_420, [qluma, qchroma, qchroma])
+    else:  # RGBA8888
+        sdr_vals = pixel.unpack_rgba8888(sdr_a)
+        y8, u8, v8 = _rgb_vals_to_yuv444_planes(sdr_vals, sdr_cg)
+        planes = _convert_yuv_encoding_planes(
+            (y8, u8, v8), ImgFmt.YUV444, sdr_cg, ColorGamut.DISPLAY_P3,
+            h, w)
+        base_words, base_off, _ = _pack_planes(
+            list(planes), _SAMPLING_444, [qluma, qchroma, qchroma])
+
+    common = dict(sdr_fmt=sdr_fmt, hdr_fmt=hdr_fmt, sdr_cg=sdr_cg,
+                  hdr_cg=hdr_cg, ct=ct, scale=scale,
+                  multichannel=multichannel, use_luminance=use_luminance,
+                  sdr_is_601=False, use_base_cg=use_base_cg)
+    if one_pass:
+        max_boost = (colors.reference_display_peak_nits(ct)
+                     / colors.SDR_WHITE_NITS)
+        gm = gainmap_ops.generate_gainmap_onepass(
+            sdr_vals, hdr_vals, gamma=gamma, max_boost=max_boost, **common)
+        gm_words, gm_off = _pack_gainmap(gm, multichannel, map_quality)
+        return base_words, base_off, gm_words, gm_off
+    gains, gmin, gmax = gainmap_ops.gainmap_float_pass(
+        sdr_vals, hdr_vals, **common)
+    return base_words, base_off, gains, gmin, gmax
+
+
+@functools.partial(jax.jit, static_argnames=("multichannel", "map_quality"))
+def _fused_api1_gm(gains, lo, hi, gamma, *, multichannel: bool,
+                   map_quality: int):
+    gm = gainmap_ops.encode_gainmap_twopass(gains, lo, hi, gamma)
+    return _pack_gainmap(gm, multichannel, map_quality)
+
+
 _FETCH_GRANULE = 256 * 1024 // 4  # 256 KB in u32 words
 
 
@@ -270,6 +420,162 @@ def _dispatch_api0_p010(jr, img, quality: int):
         quality=int(quality), map_quality=jr.map_compress_quality,
         use_base_cg=use_base_cg)
     return out + (scale, use_base_cg)
+
+
+def _resolve_scale(jr, img) -> int:
+    scale = jr.map_dimension_scale_factor
+    if scale <= 0 or img.w // scale == 0 or img.h // scale == 0:
+        s = min(img.w, img.h)
+        scale = s // 8 if s >= 8 else 1
+        jr.map_dimension_scale_factor = scale
+    return scale
+
+
+def _use_base_cg(sdr_cg: ColorGamut, hdr_cg: ColorGamut, write_xmp) -> bool:
+    """Gamut-application-space selection (jpegr.cpp:600-646)."""
+    if sdr_cg == hdr_cg:
+        return True
+    return bool(write_xmp) or not (
+        hdr_cg == ColorGamut.BT2100
+        or (hdr_cg == ColorGamut.DISPLAY_P3 and sdr_cg != ColorGamut.BT2100))
+
+
+def _onepass_metadata(jr, ct: ColorTransfer, use_base_cg: bool):
+    """One-pass metadata is closed-form (jpegr.cpp:712-828)."""
+    max_boost = colors.reference_display_peak_nits(ct) / colors.SDR_WHITE_NITS
+    md = GainMapMetadata()
+    md.max_content_boost[:] = max_boost
+    md.min_content_boost[:] = 1.0
+    md.gamma[:] = jr.gamma
+    md.offset_sdr[:] = 0.0
+    md.offset_hdr[:] = 0.0
+    md.hdr_capacity_min = 1.0
+    md.hdr_capacity_max = (jr.target_disp_peak_brightness / colors.SDR_WHITE_NITS
+                           if jr.target_disp_peak_brightness != -1.0
+                           else max_boost)
+    md.use_base_cg = use_base_cg
+    return md
+
+
+def _assemble_container(jr, w, h, quality, base_scan, base_sampling,
+                        icc_cg, scale, gm_scan, metadata, exif,
+                        gm_ct, gm_cg) -> bytes:
+    quality = int(quality)
+    qluma = scaled_quant_table(STD_LUMA_QUANT, quality)
+    qchroma = scaled_quant_table(STD_CHROMA_QUANT, quality)
+    hmax = base_sampling[0][0]
+    base_jpeg = assemble_jpeg(h, w, list(base_sampling), qluma, qchroma,
+                              base_scan,
+                              icc=icc_mod.write_icc_profile(
+                                  ColorTransfer.SRGB, icc_cg),
+                              dri=-(-w // (8 * hmax)))
+    mq_luma = scaled_quant_table(STD_LUMA_QUANT, jr.map_compress_quality)
+    mq_chroma = scaled_quant_table(STD_CHROMA_QUANT, jr.map_compress_quality)
+    mh, mw = h // scale, w // scale
+    gm_icc = None
+    if not jr.write_xmp:
+        gm_icc = icc_mod.write_icc_profile(gm_ct, gm_cg)
+    sampling = _SAMPLING_444 if jr.use_multi_channel_gainmap else _SAMPLING_400
+    gm_jpeg = assemble_jpeg(mh, mw, list(sampling), mq_luma, mq_chroma,
+                            gm_scan, icc=gm_icc, gainmap_comment=True,
+                            dri=-(-mw // 8))
+    return jpegr_container.append_gainmap(
+        base_jpeg, gm_jpeg, metadata, exif=exif, icc=None,
+        write_iso=jr.write_iso, write_xmp=jr.write_xmp)
+
+
+def encode_api0_rgb_fused(jr, img, quality: int, exif: bytes | None) -> bytes:
+    """Fused API-0 for packed RGBA1010102 / RGBAF16 HDR input."""
+    fmt = ImgFmt(img.fmt)
+    cg, ct = ColorGamut(img.cg), ColorTransfer(img.ct)
+    scale = _resolve_scale(jr, img)
+    use_base_cg = _use_base_cg(ColorGamut.DISPLAY_P3, cg, jr.write_xmp)
+    base_words, base_off_d, gm_words, gm_off_d = _fused_api0_rgb(
+        jnp.asarray(img.planes[0]), fmt=fmt, h=img.h, w=img.w, cg=cg, ct=ct,
+        scale=scale, multichannel=jr.use_multi_channel_gainmap,
+        gamma=jr.gamma, quality=int(quality),
+        map_quality=jr.map_compress_quality, use_base_cg=use_base_cg)
+    base_scan = fetch_scan(base_words, np.asarray(base_off_d))
+    gm_scan = fetch_scan(gm_words, np.asarray(gm_off_d))
+    metadata = _onepass_metadata(jr, ct, use_base_cg)
+    return _assemble_container(jr, img.w, img.h, quality, base_scan,
+                               _SAMPLING_444, ColorGamut.DISPLAY_P3, scale,
+                               gm_scan, metadata, exif, ct, cg)
+
+
+def encode_api1_fused(jr, hdr, sdr, quality: int,
+                      exif: bytes | None) -> bytes | None:
+    """Fused API-1 (raw HDR + raw SDR); returns None when the input combo
+    needs the general path."""
+    from .types import EncPreset
+    hdr_fmt, sdr_fmt = ImgFmt(hdr.fmt), ImgFmt(sdr.fmt)
+    if hdr_fmt not in (ImgFmt.P010, ImgFmt.RGBA1010102, ImgFmt.RGBAF16):
+        return None
+    if sdr_fmt not in (ImgFmt.YUV420, ImgFmt.RGBA8888):
+        return None
+    hdr_cg, sdr_cg = ColorGamut(hdr.cg), ColorGamut(sdr.cg)
+    ct, rng = ColorTransfer(hdr.ct), ColorRange(hdr.range)
+    scale = _resolve_scale(jr, sdr)
+    use_base_cg = _use_base_cg(sdr_cg, hdr_cg, jr.write_xmp)
+    one_pass = EncPreset(jr.preset) == EncPreset.REALTIME
+
+    if hdr_fmt == ImgFmt.P010:
+        hdr_a, hdr_b = jnp.asarray(hdr.planes[0]), jnp.asarray(hdr.planes[1])
+    else:
+        hdr_a = jnp.asarray(hdr.planes[0])
+        hdr_b = jnp.zeros((1, 1), jnp.uint16)
+    if sdr_fmt == ImgFmt.YUV420:
+        sdr_in = [jnp.asarray(p) for p in sdr.planes[:3]]
+    else:
+        z = jnp.zeros((1, 1), jnp.uint8)
+        sdr_in = [jnp.asarray(sdr.planes[0]), z, z]
+
+    out = _fused_api1(
+        hdr_a, hdr_b, *sdr_in, hdr_fmt=hdr_fmt, sdr_fmt=sdr_fmt,
+        h=hdr.h, w=hdr.w, hdr_cg=hdr_cg, sdr_cg=sdr_cg, ct=ct, rng=rng,
+        scale=scale, multichannel=jr.use_multi_channel_gainmap,
+        gamma=jr.gamma, quality=int(quality),
+        map_quality=jr.map_compress_quality, use_base_cg=use_base_cg,
+        use_luminance=True, one_pass=one_pass)
+
+    if one_pass:
+        base_words, base_off_d, gm_words, gm_off_d = out
+        metadata = _onepass_metadata(jr, ct, use_base_cg)
+    else:
+        base_words, base_off_d, gains, gmin, gmax = out
+        lo, hi = gainmap_ops.resolve_boost_bounds(
+            np.asarray(gmin), np.asarray(gmax),
+            multichannel=jr.use_multi_channel_gainmap,
+            min_content_boost=jr.min_content_boost,
+            max_content_boost=jr.max_content_boost,
+            merge_channels=jr.write_xmp)
+        gm_words, gm_off_d = _fused_api1_gm(
+            gains, jnp.asarray(lo), jnp.asarray(hi), np.float32(jr.gamma),
+            multichannel=jr.use_multi_channel_gainmap,
+            map_quality=jr.map_compress_quality)
+        n = 3 if jr.use_multi_channel_gainmap else 1
+        metadata = GainMapMetadata()
+        metadata.max_content_boost[:] = np.exp2(np.resize(hi, 3)) if n == 3 \
+            else np.exp2(hi[0])
+        metadata.min_content_boost[:] = np.exp2(np.resize(lo, 3)) if n == 3 \
+            else np.exp2(lo[0])
+        metadata.gamma[:] = jr.gamma
+        metadata.offset_sdr[:] = colors.SDR_OFFSET
+        metadata.offset_hdr[:] = colors.HDR_OFFSET
+        metadata.hdr_capacity_min = 1.0
+        hdr_white = colors.reference_display_peak_nits(ct)
+        metadata.hdr_capacity_max = \
+            (jr.target_disp_peak_brightness / colors.SDR_WHITE_NITS
+             if jr.target_disp_peak_brightness != -1.0
+             else hdr_white / colors.SDR_WHITE_NITS)
+        metadata.use_base_cg = use_base_cg
+
+    base_scan = fetch_scan(base_words, np.asarray(base_off_d))
+    gm_scan = fetch_scan(gm_words, np.asarray(gm_off_d))
+    sampling = _SAMPLING_420 if sdr_fmt == ImgFmt.YUV420 else _SAMPLING_444
+    return _assemble_container(jr, hdr.w, hdr.h, quality, base_scan,
+                               sampling, sdr_cg, scale, gm_scan, metadata,
+                               exif, ct, hdr_cg)
 
 
 def encode_api0_p010_fused(jr, img, quality: int, exif: bytes | None) -> bytes:

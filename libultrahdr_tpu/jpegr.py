@@ -296,6 +296,9 @@ class JpegR:
             # device-side Huffman packing in one jit (fused.py)
             from .fused import encode_api0_p010_fused
             return encode_api0_p010_fused(self, hdr, quality, exif)
+        if use_fused and fmt in (ImgFmt.RGBA1010102, ImgFmt.RGBAF16):
+            from .fused import encode_api0_rgb_fused
+            return encode_api0_rgb_fused(self, hdr, quality, exif)
         sdr = self.tone_map(hdr)
         # tonemapped intent -> one-pass map is sufficient (jpegr.cpp:200)
         saved_preset = self.preset
@@ -314,8 +317,13 @@ class JpegR:
             write_iso=self.write_iso, write_xmp=self.write_xmp)
 
     def encode_api1(self, hdr: RawImage, sdr: RawImage, quality: int = 95,
-                    exif: bytes | None = None) -> bytes:
+                    exif: bytes | None = None, use_fused: bool = True) -> bytes:
         self._check_dims_match(hdr, sdr)
+        if use_fused:
+            from .fused import encode_api1_fused
+            out = encode_api1_fused(self, hdr, sdr, quality, exif)
+            if out is not None:
+                return out
         gm_img, metadata = self.generate_gainmap(
             sdr, hdr, sdr_is_601=False, use_luminance=True)
         gm_jpeg = self.compress_gainmap(gm_img)
