@@ -604,47 +604,7 @@ def _assemble_api0_p010(jr, img, quality: int, exif: bytes | None,
     with stage("encode.fetch_scans"):
         base_scan = fetch_scan(base_words, base_off)
         gm_scan = fetch_scan(gm_words, gm_off)
-
-    # one-pass metadata is closed-form (jpegr.cpp:712-828)
-    hdr_white = colors.reference_display_peak_nits(ct)
-    max_boost = hdr_white / colors.SDR_WHITE_NITS
-    metadata = GainMapMetadata()
-    metadata.max_content_boost[:] = max_boost
-    metadata.min_content_boost[:] = 1.0
-    metadata.gamma[:] = jr.gamma
-    metadata.offset_sdr[:] = 0.0
-    metadata.offset_hdr[:] = 0.0
-    metadata.hdr_capacity_min = 1.0
-    if jr.target_disp_peak_brightness != -1.0:
-        metadata.hdr_capacity_max = \
-            jr.target_disp_peak_brightness / colors.SDR_WHITE_NITS
-    else:
-        metadata.hdr_capacity_max = max_boost
-    metadata.use_base_cg = use_base_cg
-
-    quality = int(quality)
-    qluma = scaled_quant_table(STD_LUMA_QUANT, quality)
-    qchroma = scaled_quant_table(STD_CHROMA_QUANT, quality)
-    icc = icc_mod.write_icc_profile(ColorTransfer.SRGB, ColorGamut.DISPLAY_P3)
-    base_jpeg = assemble_jpeg(
-        img.h, img.w, list(_SAMPLING_420), qluma, qchroma, base_scan,
-        icc=icc, dri=-(-img.w // 16))
-
-    mq_luma = scaled_quant_table(STD_LUMA_QUANT, jr.map_compress_quality)
-    mq_chroma = scaled_quant_table(STD_CHROMA_QUANT, jr.map_compress_quality)
-    mh, mw = img.h // scale, img.w // scale
-    gm_icc = None
-    if not jr.write_xmp:
-        gm_icc = icc_mod.write_icc_profile(ct, cg)
-    if jr.use_multi_channel_gainmap:
-        gm_jpeg = assemble_jpeg(mh, mw, list(_SAMPLING_444), mq_luma,
-                                mq_chroma, gm_scan, icc=gm_icc,
-                                gainmap_comment=True, dri=-(-mw // 8))
-    else:
-        gm_jpeg = assemble_jpeg(mh, mw, list(_SAMPLING_400), mq_luma,
-                                mq_chroma, gm_scan, icc=gm_icc,
-                                gainmap_comment=True, dri=-(-mw // 8))
-
-    return jpegr_container.append_gainmap(
-        base_jpeg, gm_jpeg, metadata, exif=exif, icc=None,
-        write_iso=jr.write_iso, write_xmp=jr.write_xmp)
+    metadata = _onepass_metadata(jr, ct, use_base_cg)
+    return _assemble_container(jr, img.w, img.h, quality, base_scan,
+                               _SAMPLING_420, ColorGamut.DISPLAY_P3, scale,
+                               gm_scan, metadata, exif, ct, cg)
