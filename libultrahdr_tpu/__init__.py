@@ -9,6 +9,23 @@ TPU and image batches sharding across chips.
 
 __version__ = "1.4.0"  # tracks the reference's UHDR_LIB_VERSION
 
+# Persistent XLA compilation cache: the fused 4K encode program takes
+# minutes to compile through a remote-compile TPU attachment but is reused
+# across processes.  Disable with UHDR_TPU_NO_CACHE=1.
+import os as _os
+
+if not _os.environ.get("UHDR_TPU_NO_CACHE"):
+    try:
+        import jax as _jax
+        _cache = _os.environ.get(
+            "UHDR_TPU_CACHE_DIR",
+            _os.path.expanduser("~/.cache/uhdr_jax_cache"))
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        pass
+
 from .errors import UhdrError, UhdrErrorCode  # noqa: F401
 from .types import (Codec, ColorGamut, ColorRange, ColorTransfer,  # noqa: F401
                     CompressedImage, EncPreset, GainMapMetadata, ImgFmt,
