@@ -197,6 +197,30 @@ int64_t uhdr_stuff_scan(const uint8_t* in, const int32_t* row_off,
   return o;
 }
 
+// Like uhdr_stuff_scan but with independent (start, end) byte ranges per
+// restart row — used when rows come from multiple device shards laid out
+// with per-shard strides (parallel/batch.py sharded encode).
+int64_t uhdr_stuff_scan_ranges(const uint8_t* in, const int64_t* starts,
+                               const int64_t* ends, int n_rows, uint8_t* out,
+                               int64_t capacity) {
+  int64_t o = 0;
+  for (int r = 0; r < n_rows; r++) {
+    const uint8_t* p = in + starts[r];
+    const uint8_t* end = in + ends[r];
+    if (o + 2 * (end - p) + 2 > capacity) return -1;
+    while (p < end) {
+      uint8_t c = *p++;
+      out[o++] = c;
+      if (c == 0xFF) out[o++] = 0x00;
+    }
+    if (r != n_rows - 1) {
+      out[o++] = 0xFF;
+      out[o++] = (uint8_t)(0xD0 + (r & 7));
+    }
+  }
+  return o;
+}
+
 // Encode one interleaved baseline scan.  Returns bytes written, or -1 on
 // overflow, -2 on bad args.  Emits only entropy-coded data (+RST markers if
 // restart_interval > 0); SOS header/EOI are the caller's job.

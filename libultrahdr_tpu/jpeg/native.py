@@ -57,6 +57,10 @@ def get_lib():
             lib.uhdr_stuff_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_stuff_scan_ranges.restype = ctypes.c_int64
+            lib.uhdr_stuff_scan_ranges.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
             lib.uhdr_decode_progressive_scan.restype = ctypes.c_int64
             lib.uhdr_decode_progressive_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64,
@@ -148,6 +152,26 @@ def stuff_scan(row_bytes: np.ndarray, row_offsets: np.ndarray) -> bytes:
                                   out.ctypes.data, cap)
     if written < 0:
         raise RuntimeError(f"stuff_scan failed: {written}")
+    return out[:written].tobytes()
+
+
+def stuff_scan_ranges(buf: np.ndarray, starts: np.ndarray,
+                      ends: np.ndarray) -> bytes:
+    """Byte-stuff + RST-join restart rows given independent byte ranges
+    (sharded encode assembly)."""
+    lib = get_lib()
+    b = np.ascontiguousarray(buf, np.uint8)
+    s = np.ascontiguousarray(starts, np.int64)
+    e = np.ascontiguousarray(ends, np.int64)
+    n_rows = s.size
+    total = int((e - s).sum())
+    cap = total * 2 + 2 * n_rows + 16
+    out = np.empty(cap, np.uint8)
+    written = lib.uhdr_stuff_scan_ranges(b.ctypes.data, s.ctypes.data,
+                                         e.ctypes.data, n_rows,
+                                         out.ctypes.data, cap)
+    if written < 0:
+        raise RuntimeError(f"stuff_scan_ranges failed: {written}")
     return out[:written].tobytes()
 
 

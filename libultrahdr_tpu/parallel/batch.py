@@ -196,6 +196,97 @@ def sharded_encode_step(mesh: Mesh, *, cg=ColorGamut.BT2100,
     return jax.jit(step)
 
 
+def sharded_encode_jpeg_step(mesh: Mesh, *, cg=ColorGamut.BT2100,
+                             ct=ColorTransfer.HLG, rng=ColorRange.FULL,
+                             scale: int = 4, multichannel: bool = False,
+                             gamma: float = 1.0, quality: int = 95,
+                             map_quality: int = 95,
+                             use_base_cg: bool = False):
+    """Full multi-chip API-0 encode INCLUDING DCT + Huffman bit packing.
+
+    Because the entropy stream uses one restart segment per MCU row
+    (jpeg/device_entropy.py), spatial shards pack their own MCU rows with
+    zero cross-shard communication, and the assembled scan is bit-identical
+    to the single-device pack (assemble_sharded_scan + tests).
+
+    Input y (B, H, W) u16 / uv (B, H/2, W) u16, B over "data", rows over
+    "spatial".  Per-shard H must be a multiple of 16*scale' where scale'
+    keeps the gain map's own MCU rows shard-local (scale*8 for YUV400).
+    Returns per-image, per-shard word buffers + row byte offsets for the
+    base and gain-map scans."""
+    from ..jpeg import device_entropy
+    from ..jpeg.dct import forward_plane
+    from ..jpeg.tables import (STD_CHROMA_QUANT, STD_LUMA_QUANT,
+                               scaled_quant_table)
+    n_spatial = mesh.shape["spatial"]
+    qluma = scaled_quant_table(STD_LUMA_QUANT, quality)
+    qchroma = scaled_quant_table(STD_CHROMA_QUANT, quality)
+    mq = scaled_quant_table(STD_LUMA_QUANT, map_quality)
+    mqc = scaled_quant_table(STD_CHROMA_QUANT, map_quality)
+
+    def per_image(y, uv):
+        h, w = y.shape
+        y8, u8, v8, gm = _encode_pixels_p010(
+            y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
+            multichannel=multichannel, gamma=gamma)
+        layout = device_entropy.scan_layout(((2, 2), (1, 1), (1, 1)),
+                                            w // 16, h // 16)
+        base_words, base_off = device_entropy.pack_scan_device(
+            [forward_plane(y8, qluma), forward_plane(u8, qchroma),
+             forward_plane(v8, qchroma)], layout)
+        mh, mw = h // scale, w // scale
+        if multichannel:
+            from ..fused import _rgb_to_ycbcr
+            gmp = _rgb_to_ycbcr(gm)
+            gl = device_entropy.scan_layout(((1, 1),) * 3, mw // 8, mh // 8)
+            gm_words, gm_off = device_entropy.pack_scan_device(
+                [forward_plane(gmp[0], mq), forward_plane(gmp[1], mqc),
+                 forward_plane(gmp[2], mqc)], gl)
+        else:
+            gl = device_entropy.scan_layout(((1, 1),), mw // 8, mh // 8)
+            gm_words, gm_off = device_entropy.pack_scan_device(
+                [forward_plane(gm[0], mq)], gl)
+        return base_words, base_off, gm_words, gm_off
+
+    img_spec = P("data", "spatial", None)
+    out_specs = (P("data", "spatial"), P("data", "spatial"),
+                 P("data", "spatial"), P("data", "spatial"))
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(img_spec, img_spec), out_specs=out_specs,
+                       check_vma=False)
+    def step(y, uv):
+        h_shard = y.shape[1]
+        if h_shard % 16 or (h_shard // scale) % 8:
+            raise ValueError(
+                f"per-shard rows ({h_shard}) must be a multiple of 16 and "
+                f"yield whole gain-map MCU rows (scale {scale})")
+        return jax.vmap(per_image)(y, uv)
+
+    return jax.jit(step)
+
+
+def assemble_sharded_scan(words: np.ndarray, offs: np.ndarray) -> bytes:
+    """Join one image's per-shard packed rows into a final scan.
+
+    words: (n_spatial * cap_words,) u32 from sharded_encode_jpeg_step
+    (stacked shard buffers); offs: (n_spatial * (rows_local + 1),) i32
+    per-shard byte offsets.  Produces the byte-stuffed, RST-joined scan."""
+    from ..jpeg import native
+    n_spatial = offs.shape[0] if offs.ndim == 2 else 1
+    offs = offs.reshape(n_spatial, -1).astype(np.int64)
+    cap_bytes = (words.size // n_spatial) * 4
+    starts, ends = [], []
+    for s in range(n_spatial):
+        base = s * cap_bytes
+        starts.extend(base + offs[s, :-1])
+        ends.extend(base + offs[s, 1:])
+    buf = np.ascontiguousarray(words).astype(">u4", copy=False) \
+        .view(np.uint8).reshape(-1)
+    return native.stuff_scan_ranges(buf, np.asarray(starts),
+                                    np.asarray(ends))
+
+
 def sharded_apply_step(mesh: Mesh, *, out_ct=ColorTransfer.HLG,
                        sdr_cg=ColorGamut.DISPLAY_P3,
                        hdr_cg=ColorGamut.BT2100, use_base_cg: bool = True):
