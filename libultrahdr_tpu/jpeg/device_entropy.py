@@ -26,8 +26,11 @@ program:
    (the reference never enables optimize_coding, so the Annex K default
    tables are compile-time constants).
 4. A single exclusive cumsum over all slot lengths yields every symbol's
-   absolute bit offset; two masked scatter-adds place each codeword's high
-   and low u32-word contributions (bit ranges are disjoint, so add == or).
+   absolute bit offset; groups of 4 adjacent slots pre-combine into 4-word
+   MSB-aligned segments with vector shift-ors, then five scatter-adds
+   place each segment's word contributions (bit ranges are disjoint, so
+   add == or).  XLA TPU scatters cost ~11 ns/update, so minimizing update
+   count is the encoder's main tuning knob.
 5. A per-row pad slot of 1-bits byte-aligns each segment.
 
 The result is bit-identical to the host C++ coder at the same restart
@@ -278,7 +281,7 @@ def pack_scan_device(coeff_planes, layout: ScanLayout):
     a0, a1, alen = _append2(s0[0], s0[1], gl[:, 0], gp[:, 1], gl[:, 1])
     t0 = _msb2(gp[:, 2], gl[:, 2])
     b0, b1, blen = _append2(t0[0], t0[1], gl[:, 2], gp[:, 3], gl[:, 3])
-    seg, seg_len = _append4([a0, a1], alen, [b0, b1], blen)
+    seg, _ = _append4([a0, a1], alen, [b0, b1], blen)
 
     # ---- place 4-word segments at their global bit offsets --------------
     w = (goff >> 5).astype(jnp.int32)
