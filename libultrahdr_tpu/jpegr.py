@@ -537,6 +537,39 @@ class JpegR:
                         ColorRange.FULL, gm_info.width, gm_info.height,
                         [np.ascontiguousarray(rgb)])
 
+    def decode_to_device(self, data: bytes, output_ct=ColorTransfer.HLG,
+                         max_display_boost: float = 3.4028235e38):
+        """Decode with the result left RESIDENT ON DEVICE (a jax array of
+        packed RGBA1010102 uint32 / RGBAF16 components).
+
+        For TPU serving pipelines the decoded frame feeds on-chip compute;
+        skipping the output download removes the dominant decode cost on
+        bandwidth-limited hosts (BASELINE.md).  Returns
+        (device_array, GainMapMetadata).  Raises UNSUPPORTED when the
+        stream needs the general (host round-trip) path."""
+        output_ct = ColorTransfer(output_ct)
+        if output_ct == ColorTransfer.SRGB:
+            raise unsupported("device-resident decode targets HDR outputs")
+        primary, gm_jpeg = self.extract_primary_and_gainmap(data)
+        if gm_jpeg is None:
+            raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                            "no gain map image present")
+        pinfo = parse_jpeg(primary)
+        gm_info = parse_jpeg(gm_jpeg)
+        metadata = self.parse_gainmap_metadata(gm_info.iso, gm_info.xmp,
+                                               pinfo.exif)
+        sdr_cg = icc_mod.read_icc_color_gamut(pinfo.icc) if pinfo.icc \
+            else ColorGamut.UNSPECIFIED
+        gm_cg = icc_mod.read_icc_color_gamut(gm_info.icc) if gm_info.icc \
+            else ColorGamut.UNSPECIFIED
+        out = self._decode_fused_device(primary, pinfo, gm_jpeg, gm_info,
+                                        metadata, output_ct,
+                                        max_display_boost, sdr_cg, gm_cg)
+        if out is None:
+            raise unsupported(
+                "stream shape not supported by the fused decode path")
+        return out[0], metadata
+
     def _try_decode_fused(self, primary, pinfo, gm_jpeg, gm_info, metadata,
                           output_ct, max_display_boost, sdr_cg, gm_cg):
         """Single-program decode fast path (fused.py _fused_decode): host
@@ -545,6 +578,39 @@ class JpegR:
         Returns (dest RawImage, gainmap RawImage) or None when the input
         needs the general path (fractional map scale, aspect mismatch,
         unusual sampling, progressive, ...)."""
+        out = self._decode_fused_device(primary, pinfo, gm_jpeg, gm_info,
+                                        metadata, output_ct,
+                                        max_display_boost, sdr_cg, gm_cg)
+        if out is None:
+            return None
+        packed_dev, gm_dev, h_cg = out
+        output_ct = ColorTransfer(output_ct)
+        w, h = pinfo.width, pinfo.height
+        mw, mh = gm_info.width, gm_info.height
+        packed = _to_np(packed_dev)
+        gm_u8 = _to_np(gm_dev)
+        if output_ct == ColorTransfer.LINEAR:
+            dest = RawImage(ImgFmt.RGBAF16, h_cg, output_ct, ColorRange.FULL,
+                            w, h, [packed])
+        else:
+            dest = RawImage(ImgFmt.RGBA1010102, h_cg, output_ct,
+                            ColorRange.FULL, w, h, [packed])
+        if gm_info.num_components == 1:
+            gm_img = RawImage(ImgFmt.YUV400, ColorGamut(gm_cg),
+                              ColorTransfer.UNSPECIFIED, ColorRange.FULL,
+                              mw, mh, [gm_u8[0]])
+        else:
+            rgb = np.moveaxis(gm_u8, 0, -1)
+            gm_img = RawImage(ImgFmt.RGB888, ColorGamut(gm_cg),
+                              ColorTransfer.UNSPECIFIED, ColorRange.FULL,
+                              mw, mh, [np.ascontiguousarray(rgb)])
+        return dest, gm_img
+
+    def _decode_fused_device(self, primary, pinfo, gm_jpeg, gm_info,
+                             metadata, output_ct, max_display_boost, sdr_cg,
+                             gm_cg):
+        """Device half of the fused decode; returns (packed_dev, gm_dev,
+        hdr_cg) with arrays left on device, or None if unsupported."""
         from . import fused as fused_mod
         from .jpeg.decoder import get_output_sampling_format
         output_ct = ColorTransfer(output_ct)
@@ -593,24 +659,7 @@ class JpegR:
             h=h, w=w, sampling_key=key, gm_channels=gm_info.num_components,
             scale_k=scale_k, out_ct=output_ct, sdr_cg=s_cg, hdr_cg=h_cg,
             use_base_cg=bool(metadata.use_base_cg))
-        packed = _to_np(packed)
-        gm_u8 = _to_np(gm_u8)
-        if output_ct == ColorTransfer.LINEAR:
-            dest = RawImage(ImgFmt.RGBAF16, h_cg, output_ct, ColorRange.FULL,
-                            w, h, [packed])
-        else:
-            dest = RawImage(ImgFmt.RGBA1010102, h_cg, output_ct,
-                            ColorRange.FULL, w, h, [packed])
-        if gm_info.num_components == 1:
-            gm_img = RawImage(ImgFmt.YUV400, ColorGamut(gm_cg),
-                              ColorTransfer.UNSPECIFIED, ColorRange.FULL,
-                              mw, mh, [gm_u8[0]])
-        else:
-            rgb = np.moveaxis(gm_u8, 0, -1)
-            gm_img = RawImage(ImgFmt.RGB888, ColorGamut(gm_cg),
-                              ColorTransfer.UNSPECIFIED, ColorRange.FULL,
-                              mw, mh, [np.ascontiguousarray(rgb)])
-        return dest, gm_img
+        return packed, gm_u8, h_cg
 
     def apply_gainmap(self, sdr: RawImage, gain_u8: np.ndarray, gm_cg,
                       metadata: GainMapMetadata, output_ct, output_fmt,
