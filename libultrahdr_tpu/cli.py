@@ -208,13 +208,24 @@ def main(argv=None):
             fh.write(data)
         print(f"encoded {len(data)} bytes -> {out_path}")
         if args.e:
+            # computeRGBHdrPSNR analog (ultrahdr_app.cpp:1191-1255): decode
+            # the encoded stream and compare against the HDR intent in
+            # linear RGB, both normalized to the 10-bit peak
+            from .ops import colors as _colors
+            from .ops import pixel as _pixel
             dec = UhdrDecoder()
             dec.set_image(data)
             dec.set_out_img_format(_OUT_FMT[args.O])
             dec.set_out_color_transfer(_CT[args.o])
             decoded = dec.decode()
-            ch, peak = _unpack_channels(decoded)
-            print("decoded rendition ready for PSNR; channels:", ch.shape)
+            got, peak = _unpack_channels(decoded)
+            hdr_vals = np.asarray(_pixel.unpack(hdr))
+            if ImgFmt(hdr.fmt) not in (ImgFmt.RGBA1010102, ImgFmt.RGBAF16):
+                m = _colors.yuv2rgb_matrix_for_gamut(hdr.cg)
+                hdr_vals = np.asarray(_colors.apply_3x3(m, hdr_vals))
+            want = np.clip(hdr_vals, 0.0, 1.0) * peak
+            psnr = psnr_rgb(got.astype(np.float64), want, peak)
+            print("PSNR rgb: %.4f %.4f %.4f" % tuple(psnr))
         return 0
 
     # decode
