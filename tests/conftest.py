@@ -13,6 +13,9 @@ the environment.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# keep the persistent compile cache out of hermetic CPU tests (it exists
+# for the slow remote TPU compiles; on CPU it only adds AOT-reload noise)
+os.environ.setdefault("UHDR_TPU_NO_CACHE", "1")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
