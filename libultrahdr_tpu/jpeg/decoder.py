@@ -93,8 +93,17 @@ def parse_jpeg(data: bytes, parse_only: bool = False) -> JpegInfo:
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
-            raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
-                            f"bad marker alignment at {pos}")
+            # resync like libjpeg's next_marker (jdmarker.c): skip garbage
+            # bytes until the next 0xFF — the reference decoder accepts
+            # streams with inter-segment junk, so we must too
+            nxt = data.find(b"\xff", pos)
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        if data[pos + 1] == 0xFF:  # fill byte (T.81 B.1.1.2)
+            pos += 1
+            continue
         marker = data[pos + 1]
         if marker == 0xD8 or (0xD0 <= marker <= 0xD7) or marker == 0x01:
             pos += 2
@@ -102,14 +111,23 @@ def parse_jpeg(data: bytes, parse_only: bool = False) -> JpegInfo:
         if marker == 0xD9:  # EOI
             break
         seglen = _u16(data, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > n:
+            raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                            f"truncated segment 0x{marker:02X} at {pos}")
         payload = data[pos + 4: pos + 2 + seglen]
         payload_off = pos + 4
         if marker == 0xC0 or marker == 0xC1 or marker == 0xC2:
+            if len(payload) < 6:
+                raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                "truncated SOF segment")
             info.progressive = marker == 0xC2
             info.height = _u16(payload, 1)
             info.width = _u16(payload, 3)
             nc = payload[5]
             info.num_components = nc
+            if len(payload) < 6 + 3 * nc:
+                raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                "truncated SOF component list")
             q = 6
             for _ in range(nc):
                 cid = payload[q]
@@ -124,6 +142,9 @@ def parse_jpeg(data: bytes, parse_only: bool = False) -> JpegInfo:
             q = 0
             while q < len(payload):
                 pq, tq = payload[q] >> 4, payload[q] & 15
+                if q + 1 + (128 if pq else 64) > len(payload):
+                    raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                    "truncated DQT segment")
                 q += 1
                 if pq == 0:
                     zz = np.frombuffer(payload[q:q + 64], np.uint8).astype(np.int32)
@@ -140,11 +161,17 @@ def parse_jpeg(data: bytes, parse_only: bool = False) -> JpegInfo:
                 tc, th = payload[q] >> 4, payload[q] & 15
                 bits = list(payload[q + 1:q + 17])
                 nv = sum(bits)
+                if len(bits) < 16 or q + 17 + nv > len(payload):
+                    raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                    "truncated DHT segment")
                 vals = list(payload[q + 17:q + 17 + nv])
                 tbl = HuffTable(bits, vals)
                 (info.ac_tables if tc else info.dc_tables)[th] = tbl
                 q += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(payload) < 2:
+                raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                "truncated DRI segment")
             info.restart_interval = _u16(payload, 0)
         elif marker == 0xE1:  # APP1: EXIF or XMP
             if info.exif is None and payload.startswith(EXIF_ID):
@@ -158,7 +185,13 @@ def parse_jpeg(data: bytes, parse_only: bool = False) -> JpegInfo:
             elif info.iso is None and payload.startswith(ISO_NS):
                 info.iso = payload
         elif marker == 0xDA:  # SOS
+            if len(payload) < 1:
+                raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                "truncated SOS segment")
             nc = payload[0]
+            if len(payload) < 1 + 2 * nc + 3:
+                raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                "truncated SOS component list")
             q = 1
             scan_comps = []
             for _ in range(nc):
@@ -202,6 +235,13 @@ def _validate(info: JpegInfo):
             f"[{MIN_WIDTH}..{MAX_DIMENSION}]")
     if info.num_components not in (1, 3):
         raise unsupported(f"unsupported component count {info.num_components}")
+    for c in info.components:
+        if c.qtbl not in info.qtables:
+            raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                            f"component references missing quant table "
+                            f"{c.qtbl}")
+        if not (1 <= c.h <= 4 and 1 <= c.v <= 4):
+            raise unsupported(f"bad sampling factors {c.h}x{c.v}")
 
 
 def get_output_sampling_format(info: JpegInfo) -> ImgFmt:

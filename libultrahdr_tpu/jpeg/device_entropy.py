@@ -126,6 +126,169 @@ def _value_bits(v, size):
         & ((jnp.uint32(1) << size.astype(jnp.uint32)) - 1)
 
 
+def _msb2(pay, length):
+    """(pay, len<=32) -> 2-word MSB-aligned segment."""
+    sh = jnp.clip(32 - length, 0, 31).astype(jnp.uint32)
+    return pay << sh, jnp.zeros_like(pay)
+
+
+def _append2(a0, a1, alen, pay, length):
+    """Append a <=27-bit code to a <=37-bit 2-word segment (result
+    <=64 bits)."""
+    b = alen & 31
+    word1 = alen >= 32
+    rem = 32 - b - length
+    sh_hi = jnp.clip(rem, 0, 31).astype(jnp.uint32)
+    sh_dn = jnp.clip(-rem, 0, 31).astype(jnp.uint32)
+    sh_lo = jnp.clip(32 + rem, 0, 31).astype(jnp.uint32)
+    hi = jnp.where(rem >= 0, pay << sh_hi, pay >> sh_dn)
+    lo = jnp.where(rem < 0, pay << sh_lo, jnp.uint32(0))
+    a0 = a0 | jnp.where(word1, jnp.uint32(0), hi)
+    a1 = a1 | jnp.where(word1, hi, lo)
+    return a0, a1, alen + length
+
+
+def _append4(a, alen, b, blen):
+    """Concat two <=54-bit 2-word segments into a 4-word segment."""
+    out = [a[0], a[1], jnp.zeros_like(a[0]), jnp.zeros_like(a[0])]
+    wshift = alen >> 5          # 0 or 1 (alen <= 54)
+    s = (alen & 31).astype(jnp.uint32)
+    ns = (32 - s) & 31
+    ns = ns.astype(jnp.uint32)
+    nz = s != 0
+    b_sh = [jnp.where(nz, b[0] >> s, b[0]),
+            jnp.where(nz, (b[1] >> s) | (b[0] << ns), b[1]),
+            jnp.where(nz, b[1] << ns, jnp.uint32(0))]
+    for i, bw in enumerate(b_sh):
+        for base in (0, 1):
+            j = i + base
+            if j < 4:
+                out[j] = out[j] | jnp.where(wshift == base, bw,
+                                            jnp.uint32(0))
+    return out, alen + blen
+
+
+def _interleave_stream(per_comp, layout: ScanLayout):
+    """Per-component (mcus_h*vs, mcus_w*hs, X) block arrays -> interleaved
+    stream order (mcus_h, bpr, X) with pure reshapes/transposes (the
+    T.81 A.2.3 MCU interleave; replaces the old 194K-row gather, which XLA
+    TPU lowers ~10 ns/row)."""
+    mh, mw = layout.mcus_h, layout.mcus_w
+    parts = []
+    for arr, (hs, vs) in zip(per_comp, layout.sampling):
+        x = arr.reshape((mh, vs, mw, hs) + arr.shape[2:])
+        x = jnp.moveaxis(x, 1, 2)                 # (mh, mw, vs, hs, X)
+        parts.append(x.reshape((mh, mw, vs * hs) + arr.shape[2:]))
+    stream = jnp.concatenate(parts, axis=2)       # (mh, mw, bpr_mcu, X)
+    return stream.reshape((mh, layout.bpr) + stream.shape[3:])
+
+
+@functools.lru_cache(maxsize=4)
+def _packed_ac_lut(chroma: bool):
+    """(256,) f32 AC table with code*32+len packed (<=21 bits, f32-exact) —
+    consumed by a one-hot matmul, the TPU-idiomatic small-table lookup
+    (a 12M-element jnp.take from a 256-entry table costs ~10 ns/element on
+    the XLA TPU gather lowering; the MXU one-hot dot is ~10x cheaper)."""
+    t = AC_CHROMA if chroma else AC_LUMA
+    return (np.asarray(t.code_of, np.uint32) * 32
+            + np.asarray(t.size_of, np.uint32)).astype(np.float32)
+
+
+def _slot_symbols(coeff_planes, layout: ScanLayout):
+    """Shared slot-symbol builder: per-block 65-slot (payload, length)
+    arrays in stream order, shaped (n_rows, bpr, 65).
+
+    Slot layout per block: [DC, 63 AC positions (ZRL or code), EOB];
+    inactive slots have length 0 and payload 0 (T.81 F.1.2).
+
+    Gather-free: symbols are built per component (tables, ZRL and EOB are
+    then compile-time constants per plane), AC (code,len) comes from a
+    one-hot MXU dot, and the MCU interleave is reshape/transpose."""
+    dc_code, dc_len, ac_code, ac_len = _huff_luts()
+    mh, mw = layout.mcus_h, layout.mcus_w
+
+    comp_pays, comp_lens = [], []
+    for ci, (p, (hs, vs)) in enumerate(zip(coeff_planes, layout.sampling)):
+        t = int(ci != 0)                          # 0 = luma tables
+        blocks = p.reshape(mh * vs, mw * hs, 64).astype(jnp.int32)
+
+        # ---- DC: previous same-component block in stream order ----------
+        dcs = blocks[..., 0].reshape(mh, vs, mw, hs)
+        dcs = jnp.moveaxis(dcs, 1, 2).reshape(mh, mw * vs * hs)
+        prev = jnp.concatenate([jnp.zeros_like(dcs[:, :1]), dcs[:, :-1]],
+                               axis=1)            # predictor resets per row
+        diff = dcs - prev
+        dsize = _bit_size(diff)
+        dcode = jnp.take(jnp.asarray(dc_code[t]), dsize)
+        dclen = jnp.take(jnp.asarray(dc_len[t]), dsize)
+        dbits = _value_bits(diff, dsize)
+        dc_pay = (dcode << dsize.astype(jnp.uint32)) | dbits
+        dc_totlen = dclen + dsize                 # (mh, mw*vs*hs)
+        nblk = mw * vs * hs
+        dc_pay = dc_pay.reshape(mh, nblk, 1)
+        dc_totlen = dc_totlen.reshape(mh, nblk, 1)
+
+        # ---- AC (block-local; computed in plane layout) ------------------
+        ac = blocks[..., 1:]                      # (bh, bw, 63)
+        nz = ac != 0
+        k = jnp.arange(1, 64, dtype=jnp.int32)
+        idx_nz = jnp.where(nz, k, 0)
+        incl = jax.lax.associative_scan(jnp.maximum, idx_nz, axis=-1)
+        prev_nz = jnp.concatenate(
+            [jnp.zeros_like(incl[..., :1]), incl[..., :-1]], axis=-1)
+        last_nz = incl[..., -1:]
+
+        # a position emits either a ZRL (the 16th/32nd/48th zero of a run
+        # continuing to a later nonzero) or a (run,size) code (nonzero) —
+        # never both, so one slot per position suffices
+        d = k - prev_nz
+        zrl_on = (~nz) & (d % 16 == 0) & (k < last_nz)
+        run = (k - prev_nz - 1) % 16
+        asize = _bit_size(ac)
+        sym = jnp.where(nz, (run << 4) | asize, 0)
+        oh = jax.nn.one_hot(sym.reshape(-1, 63), 256, dtype=jnp.float32)
+        v = (oh @ jnp.asarray(_packed_ac_lut(bool(t)))).astype(jnp.uint32)
+        v = v.reshape(sym.shape)
+        acode, aclen = v >> 5, (v & 31).astype(jnp.int32)
+        abits = _value_bits(ac, asize)
+        zrl_pay = jnp.uint32(ac_code[t, 0xF0])    # constants per plane
+        zrl_len = int(ac_len[t, 0xF0])
+        ac_pay = jnp.where(nz, (acode << asize.astype(jnp.uint32)) | abits,
+                           jnp.where(zrl_on, zrl_pay, 0))
+        ac_lens = jnp.where(nz, aclen + asize,
+                            jnp.where(zrl_on, zrl_len, 0))
+
+        eob_on = last_nz < 63
+        eob_pay = jnp.where(eob_on, jnp.uint32(ac_code[t, 0x00]), 0)
+        eob_len = jnp.where(eob_on, int(ac_len[t, 0x00]), 0)
+
+        slots_pay = jnp.concatenate([ac_pay, eob_pay], axis=-1)
+        slots_len = jnp.concatenate([ac_lens, eob_len], axis=-1)
+        # interleave AC+EOB to stream order, then prepend the DC slot
+        # (already stream-ordered)
+        single = scan_layout((layout.sampling[ci],), mw, mh)
+        s_pay = _interleave_stream([slots_pay], single)
+        s_len = _interleave_stream([slots_len], single)
+        comp_pays.append((dc_pay, s_pay.reshape(mh, nblk, 64)))
+        comp_lens.append((dc_totlen, s_len.reshape(mh, nblk, 64)))
+
+    # stitch components into the MCU-interleaved stream
+    pays = _interleave_comp_slots(comp_pays, layout)
+    lens = _interleave_comp_slots(comp_lens, layout)
+    return pays, lens
+
+
+def _interleave_comp_slots(per_comp, layout: ScanLayout):
+    """[(dc (mh,nblk,1), acs (mh,nblk,64)), ...] -> (mh, bpr, 65)."""
+    mh, mw = layout.mcus_h, layout.mcus_w
+    parts = []
+    for (dc, acs), (hs, vs) in zip(per_comp, layout.sampling):
+        x = jnp.concatenate([dc, acs], axis=-1)   # (mh, mw*vs*hs, 65)
+        parts.append(x.reshape(mh, mw, vs * hs, 65))
+    stream = jnp.concatenate(parts, axis=2)
+    return stream.reshape(mh, layout.bpr, 65)
+
+
 def pack_scan_device(coeff_planes, layout: ScanLayout):
     """Pack an interleaved baseline scan on device.
 
@@ -136,70 +299,10 @@ def pack_scan_device(coeff_planes, layout: ScanLayout):
     markers or byte stuffing, row_byte_offsets (mcus_h + 1,) int32).
     Each restart row is byte-aligned (1-padded) within `words`.
     """
-    dc_code, dc_len, ac_code, ac_len = [jnp.asarray(a) for a in _huff_luts()]
     n_rows, bpr = layout.mcus_h, layout.bpr
-
-    flat = jnp.concatenate(
-        [p.reshape(-1, 64).astype(jnp.int32) for p in coeff_planes], axis=0)
-    stream = jnp.take(flat, jnp.asarray(layout.gather_idx.reshape(-1)),
-                      axis=0)                       # (n_rows*bpr, 64)
-    stream = stream.reshape(n_rows, bpr, 64)
-
-    tbl = jnp.asarray((~layout.is_luma).astype(np.int32))      # (bpr,) 0/1
-
-    # ---- DC slot ------------------------------------------------------
-    dc = stream[..., 0]                                        # (n_rows, bpr)
-    prev_idx = jnp.asarray(layout.dc_prev)
-    dc_prev = jnp.where(prev_idx >= 0,
-                        jnp.take(dc, jnp.clip(prev_idx, 0), axis=1), 0)
-    diff = dc - dc_prev
-    dsize = _bit_size(diff)
-    dci = tbl[None, :] * 256 + dsize
-    dcode = jnp.take(dc_code.reshape(-1), dci)
-    dclen = jnp.take(dc_len.reshape(-1), dci)
-    dbits = _value_bits(diff, dsize)
-    dc_pay = (dcode << dsize.astype(jnp.uint32)) | dbits
-    dc_totlen = dclen + dsize                                  # (n_rows, bpr)
-
-    # ---- AC slots -----------------------------------------------------
-    ac = stream[..., 1:]                                       # (.., 63)
-    nz = ac != 0
-    k = jnp.arange(1, 64, dtype=jnp.int32)
-    idx_nz = jnp.where(nz, k, 0)
-    incl = jax.lax.associative_scan(jnp.maximum, idx_nz, axis=-1)
-    prev_nz = jnp.concatenate(
-        [jnp.zeros_like(incl[..., :1]), incl[..., :-1]], axis=-1)
-    last_nz = incl[..., -1:]                                   # (.., 1)
-
-    # a position emits either a ZRL (it is the 16th/32nd/48th zero of a run
-    # that continues to a later nonzero) or a (run,size) code (it is
-    # nonzero) — never both, so one slot per position suffices
-    d = k - prev_nz                                            # zeros incl. k
-    zrl_on = (~nz) & (d % 16 == 0) & (k < last_nz)
-    run = (k - prev_nz - 1) % 16
-    asize = _bit_size(ac)
-    sym = jnp.where(nz, (run << 4) | asize, 0xF0)
-    ai = tbl[None, :, None] * 256 + sym
-    acode = jnp.take(ac_code.reshape(-1), ai)
-    aclen = jnp.take(ac_len.reshape(-1), ai)
-    abits = _value_bits(ac, asize)
-    slot_on = nz | zrl_on
-    ac_pay = jnp.where(slot_on,
-                       jnp.where(nz, (acode << asize.astype(jnp.uint32))
-                                 | abits, acode), 0)
-    ac_lens = jnp.where(slot_on, jnp.where(nz, aclen + asize, aclen), 0)
-
-    eob_on = last_nz[..., 0] < 63
-    ei = tbl[None, :] * 256 + 0x00
-    eob_pay = jnp.where(eob_on, jnp.take(ac_code.reshape(-1), ei), 0)
-    eob_len = jnp.where(eob_on, jnp.take(ac_len.reshape(-1), ei), 0)
-
-    # ---- assemble 65 slots per block ------------------------------------
-    pays = jnp.concatenate([dc_pay[..., None], ac_pay, eob_pay[..., None]],
-                           axis=-1).reshape(n_rows, bpr * 65)
-    lens = jnp.concatenate([dc_totlen[..., None], ac_lens,
-                            eob_len[..., None]],
-                           axis=-1).reshape(n_rows, bpr * 65)
+    pays, lens = _slot_symbols(coeff_planes, layout)
+    pays = pays.reshape(n_rows, bpr * 65)
+    lens = lens.reshape(n_rows, bpr * 65)
 
     # per-row byte-align pad slot (1-bits, T.81 F.1.2.3)
     row_bits = jnp.sum(lens, axis=-1, dtype=jnp.int32)
@@ -238,45 +341,6 @@ def pack_scan_device(coeff_planes, layout: ScanLayout):
     gl = flat_len.reshape(-1, 4)
     goff = off.reshape(-1, 4)[:, 0]
 
-    def _msb2(pay, length):
-        """(pay, len<=32) -> 2-word MSB-aligned segment."""
-        sh = jnp.clip(32 - length, 0, 31).astype(jnp.uint32)
-        return pay << sh, jnp.zeros_like(pay)
-
-    def _append2(a0, a1, alen, pay, length):
-        """Append a <=27-bit code to a <=37-bit 2-word segment (result
-        <=64 bits)."""
-        b = alen & 31
-        word1 = alen >= 32
-        rem = 32 - b - length
-        sh_hi = jnp.clip(rem, 0, 31).astype(jnp.uint32)
-        sh_dn = jnp.clip(-rem, 0, 31).astype(jnp.uint32)
-        sh_lo = jnp.clip(32 + rem, 0, 31).astype(jnp.uint32)
-        hi = jnp.where(rem >= 0, pay << sh_hi, pay >> sh_dn)
-        lo = jnp.where(rem < 0, pay << sh_lo, jnp.uint32(0))
-        a0 = a0 | jnp.where(word1, jnp.uint32(0), hi)
-        a1 = a1 | jnp.where(word1, hi, lo)
-        return a0, a1, alen + length
-
-    def _append4(a, alen, b, blen):
-        """Concat two <=54-bit 2-word segments into a 4-word segment."""
-        out = [a[0], a[1], jnp.zeros_like(a[0]), jnp.zeros_like(a[0])]
-        wshift = alen >> 5          # 0 or 1 (alen <= 54)
-        s = (alen & 31).astype(jnp.uint32)
-        ns = (32 - s) & 31
-        ns = ns.astype(jnp.uint32)
-        nz = s != 0
-        b_sh = [jnp.where(nz, b[0] >> s, b[0]),
-                jnp.where(nz, (b[1] >> s) | (b[0] << ns), b[1]),
-                jnp.where(nz, b[1] << ns, jnp.uint32(0))]
-        for i, bw in enumerate(b_sh):
-            for base in (0, 1):
-                j = i + base
-                if j < 4:
-                    out[j] = out[j] | jnp.where(wshift == base, bw,
-                                                jnp.uint32(0))
-        return out, alen + blen
-
     s0 = _msb2(gp[:, 0], gl[:, 0])
     a0, a1, alen = _append2(s0[0], s0[1], gl[:, 0], gp[:, 1], gl[:, 1])
     t0 = _msb2(gp[:, 2], gl[:, 2])
@@ -308,3 +372,163 @@ def words_to_bytes(words):
     b = jnp.stack([(words >> 24), (words >> 16), (words >> 8), words],
                   axis=-1).astype(jnp.uint8)
     return b.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# v2 packer: per-block word-aligned segments + inverse-map compaction
+#
+# The v1 packer's five sorted scatter-adds cost ~11 ns/update on the XLA TPU
+# scatter lowering (~300 ms of a 4K frame's ~470 ms device time).  v2 removes
+# the big scatter entirely:
+#
+#   1. slots -> groups of 8 combined into 7-word MSB-aligned segments with
+#      static unrolled shift-ors (pure VPU work, no gather/scatter);
+#   2. each block's 9 group segments OR into a private 54-word MSB-aligned
+#      block buffer via compare-selects (the worst-case block is 1687 bits,
+#      T.81 Annex K code lengths; again pure vector work);
+#   3. blocks compact word-aligned into the output via an inverse map: one
+#      tiny scatter-max of n_blocks start markers, a cummax that labels every
+#      output word with its source block, and ONE monotone gather.  Word
+#      alignment makes each output word have exactly one source, which is
+#      what turns the placement from scatter into gather.
+#
+# The remaining bit-level join of word-aligned block segments is a single
+# sequential pass the host C++ does at memory speed (uhdr_join_blocks),
+# fused with the RST insertion + byte stuffing it already performed for v1.
+
+_BLOCK_CAP_WORDS = 54          # ceil(worst-case 1687 bits / 32) + slack
+_GROUPS_PER_BLOCK = 9          # 66 slots (65 + row pad) padded to 72 = 9*8
+
+
+class PackOverflowError(RuntimeError):
+    """The static output-word budget was exceeded (adversarial content at
+    high quality); the caller must fall back to an unbudgeted packer."""
+
+
+def _shift_down(words, s):
+    """Shift an MSB-aligned word list right by s in [0,32) bits; returns
+    len(words)+1 words."""
+    ns = ((32 - s) & 31).astype(jnp.uint32)
+    nz = s != 0
+    out = [jnp.where(nz, words[0] >> s, words[0])]
+    for i in range(1, len(words)):
+        out.append(jnp.where(nz, (words[i] >> s) | (words[i - 1] << ns),
+                             words[i]))
+    out.append(jnp.where(nz, words[-1] << ns, jnp.uint32(0)))
+    return out
+
+
+def _append_words(a, alen, b, blen, out_n: int, max_ws: int):
+    """Concatenate MSB-aligned segment b after segment a.
+
+    a: list of words, bit length alen; b likewise.  out_n words returned;
+    max_ws bounds alen >> 5 (static unroll count)."""
+    ws = alen >> 5
+    s = (alen & 31).astype(jnp.uint32)
+    bs = _shift_down(b, s)
+    out = [a[j] if j < len(a) else jnp.zeros_like(a[0]) for j in range(out_n)]
+    for k in range(max_ws + 1):
+        sel = ws == k
+        for i, bw in enumerate(bs):
+            j = i + k
+            if j < out_n:
+                out[j] = out[j] | jnp.where(sel, bw, jnp.uint32(0))
+    return out, alen + blen
+
+
+def _combine8(gp, gl):
+    """(.., 8) LSB-aligned payload/len slots -> 7-word MSB-aligned segment
+    (list of 7 (..,) u32) + total bit length (slots are <=26 bits, so the
+    group is <=208 bits)."""
+    # pairs -> 2-word segments (<=52 bits)
+    p2, l2 = [], []
+    for i in range(4):
+        s0 = _msb2(gp[..., 2 * i], gl[..., 2 * i])
+        a0, a1, alen = _append2(s0[0], s0[1], gl[..., 2 * i],
+                                gp[..., 2 * i + 1], gl[..., 2 * i + 1])
+        p2.append([a0, a1])
+        l2.append(alen)
+    # quads -> 4-word segments (<=104 bits)
+    q0, ql0 = _append_words(p2[0], l2[0], p2[1], l2[1], 4, 1)
+    q1, ql1 = _append_words(p2[2], l2[2], p2[3], l2[3], 4, 1)
+    # oct -> 7-word segment (<=208 bits)
+    return _append_words(q0, ql0, q1, ql1, 7, 3)
+
+
+def pack_scan_device_v2(coeff_planes, layout: ScanLayout,
+                        budget_words_per_block: int | None = None):
+    """Pack an interleaved baseline scan on device, scatter-free.
+
+    Returns (out_words (n_blocks * budget_words_per_block,) uint32,
+    block_len_bits (n_blocks,) uint16).  Each block's bitstream (row pad
+    included in the last block of each MCU row) sits word-aligned at the
+    word offset cumsum(ceil(len/32)); the host joins them bit-level with
+    native.join_blocks.  If the actual stream exceeds the word budget the
+    tail is dropped on device — callers must check via
+    `total_words(block_len_bits) <= out_words.size` (fetch_blocks raises
+    PackOverflowError)."""
+    n_rows, bpr = layout.mcus_h, layout.bpr
+    n_blocks = n_rows * bpr
+    if budget_words_per_block is None:
+        # small scans get the full worst-case cap (overflow impossible,
+        # <=7 MB scratch); big scans get a lean budget with host fallback
+        budget_words_per_block = _BLOCK_CAP_WORDS if n_blocks <= 32768 else 16
+    pays, lens = _slot_symbols(coeff_planes, layout)   # (n_rows, bpr, 65)
+
+    # per-row byte-align pad (1-bits, T.81 F.1.2.3) appended to the row's
+    # last block as a 66th slot
+    row_bits = jnp.sum(lens, axis=(1, 2), dtype=jnp.int32)      # (n_rows,)
+    pad_len = (-row_bits) % 8
+    pad_pay = (jnp.uint32(1) << pad_len.astype(jnp.uint32)) - 1
+    last = jnp.zeros((bpr,), bool).at[bpr - 1].set(True)
+    slot_pad_pay = jnp.where(last[None, :], pad_pay[:, None], 0) \
+        .astype(jnp.uint32)
+    slot_pad_len = jnp.where(last[None, :], pad_len[:, None], 0)
+    pays = jnp.concatenate([pays, slot_pad_pay[..., None]], axis=-1)
+    lens = jnp.concatenate([lens, slot_pad_len[..., None]], axis=-1)
+
+    pays = pays.reshape(n_blocks, 66)
+    lens = lens.reshape(n_blocks, 66)
+    zpad = _GROUPS_PER_BLOCK * 8 - 66
+    pays = jnp.pad(pays, ((0, 0), (0, zpad)))
+    lens = jnp.pad(lens, ((0, 0), (0, zpad)))
+
+    blen = jnp.sum(lens, axis=-1, dtype=jnp.int32)              # (n_blocks,)
+    off = jnp.cumsum(lens, axis=-1, dtype=jnp.int32) - lens     # in-block
+    goff = off[:, ::8]                          # (n_blocks, 9) group offsets
+
+    gp = pays.reshape(n_blocks, _GROUPS_PER_BLOCK, 8)
+    gl = lens.reshape(n_blocks, _GROUPS_PER_BLOCK, 8)
+    seg, _ = _combine8(gp, gl)                  # 7 x (n_blocks, 9)
+
+    # shift each group segment to its in-block bit position -> 8 words
+    placed = _shift_down(seg, (goff & 31).astype(jnp.uint32))
+    gw = goff >> 5                              # (n_blocks, 9) word offsets
+
+    # OR group words into the block buffer via compare-selects (no scatter;
+    # contributions beyond a group's real span are zero by construction)
+    jidx = jnp.arange(_BLOCK_CAP_WORDS, dtype=jnp.int32)[None, :]
+    bb = jnp.zeros((n_blocks, _BLOCK_CAP_WORDS), jnp.uint32)
+    for g in range(_GROUPS_PER_BLOCK):
+        tgt = gw[:, g:g + 1]
+        for d in range(8):
+            bb = bb | jnp.where(jidx == tgt + d, placed[d][:, g:g + 1], 0)
+
+    # word-aligned compaction via the word->block inverse map
+    w_out = n_blocks * budget_words_per_block
+    wlen = (blen + 31) >> 5                                     # >=1 always
+    dest = jnp.cumsum(wlen) - wlen
+    mark = jnp.zeros((w_out,), jnp.int32).at[dest].max(
+        jnp.arange(n_blocks, dtype=jnp.int32), mode="drop",
+        indices_are_sorted=True)
+    blk = jax.lax.associative_scan(jnp.maximum, mark)
+    src = jnp.arange(w_out, dtype=jnp.int32) - jnp.take(dest, blk)
+    flat_idx = blk * _BLOCK_CAP_WORDS + jnp.clip(src, 0,
+                                                 _BLOCK_CAP_WORDS - 1)
+    out_words = jnp.take(bb.reshape(-1), flat_idx)
+    return out_words, blen.astype(jnp.uint16)
+
+
+def total_words_v2(block_len_bits: np.ndarray) -> int:
+    """Host-side: compacted word count implied by the block bit lengths."""
+    return int(np.sum((block_len_bits.astype(np.int64) + 31) >> 5))

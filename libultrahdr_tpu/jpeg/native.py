@@ -61,6 +61,10 @@ def get_lib():
             lib.uhdr_stuff_scan_ranges.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_join_blocks.restype = ctypes.c_int64
+            lib.uhdr_join_blocks.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64]
             lib.uhdr_decode_progressive_scan.restype = ctypes.c_int64
             lib.uhdr_decode_progressive_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64,
@@ -172,6 +176,24 @@ def stuff_scan_ranges(buf: np.ndarray, starts: np.ndarray,
                                          out.ctypes.data, cap)
     if written < 0:
         raise RuntimeError(f"stuff_scan_ranges failed: {written}")
+    return out[:written].tobytes()
+
+
+def join_blocks(words: np.ndarray, len_bits: np.ndarray,
+                blocks_per_row: int) -> bytes:
+    """Bit-join word-aligned per-block segments (device packer v2) into the
+    final scan: concatenation + RST per MCU row + byte stuffing."""
+    lib = get_lib()
+    w = np.ascontiguousarray(words, np.uint32)
+    lb = np.ascontiguousarray(len_bits, np.uint16)
+    total_bits = int(lb.astype(np.int64).sum())
+    cap = total_bits // 4 + 2 * (lb.size // max(blocks_per_row, 1)) + 64
+    out = np.empty(cap, np.uint8)
+    written = lib.uhdr_join_blocks(w.ctypes.data, lb.ctypes.data,
+                                   lb.size, blocks_per_row,
+                                   out.ctypes.data, cap)
+    if written < 0:
+        raise RuntimeError(f"join_blocks failed: {written}")
     return out[:written].tobytes()
 
 

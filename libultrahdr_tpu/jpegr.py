@@ -291,14 +291,22 @@ class JpegR:
         fmt = ImgFmt(hdr.fmt)
         if fmt not in HDR_INPUT_FORMATS:
             raise invalid_param(f"unsupported hdr intent color format {fmt}")
-        if use_fused and fmt == ImgFmt.P010:
+        if use_fused:
             # single-XLA-program fast path: tonemap + gainmap + DCT +
-            # device-side Huffman packing in one jit (fused.py)
-            from .fused import encode_api0_p010_fused
-            return encode_api0_p010_fused(self, hdr, quality, exif)
-        if use_fused and fmt in (ImgFmt.RGBA1010102, ImgFmt.RGBAF16):
-            from .fused import encode_api0_rgb_fused
-            return encode_api0_rgb_fused(self, hdr, quality, exif)
+            # device-side Huffman packing in one jit (fused.py).  The v2
+            # packer has a static word budget; adversarial content at high
+            # quality can overflow it, in which case we fall through to the
+            # general (host-entropy) path below.
+            from .fused import (encode_api0_p010_fused,
+                                encode_api0_rgb_fused)
+            from .jpeg.device_entropy import PackOverflowError
+            try:
+                if fmt == ImgFmt.P010:
+                    return encode_api0_p010_fused(self, hdr, quality, exif)
+                if fmt in (ImgFmt.RGBA1010102, ImgFmt.RGBAF16):
+                    return encode_api0_rgb_fused(self, hdr, quality, exif)
+            except PackOverflowError:
+                pass
         sdr = self.tone_map(hdr)
         # tonemapped intent -> one-pass map is sufficient (jpegr.cpp:200)
         saved_preset = self.preset
@@ -321,9 +329,13 @@ class JpegR:
         self._check_dims_match(hdr, sdr)
         if use_fused:
             from .fused import encode_api1_fused
-            out = encode_api1_fused(self, hdr, sdr, quality, exif)
-            if out is not None:
-                return out
+            from .jpeg.device_entropy import PackOverflowError
+            try:
+                out = encode_api1_fused(self, hdr, sdr, quality, exif)
+                if out is not None:
+                    return out
+            except PackOverflowError:
+                pass
         gm_img, metadata = self.generate_gainmap(
             sdr, hdr, sdr_is_601=False, use_luminance=True)
         gm_jpeg = self.compress_gainmap(gm_img)

@@ -63,14 +63,20 @@ def apply_gain(rgb_sdr, gain, metadata_arrays, weight: float):
 def apply_gainmap_core(sdr_yuv, gain_u8, metadata_arrays, *, scale_k: int,
                        weight, out_ct: ColorTransfer,
                        sdr_cg: ColorGamut, hdr_cg: ColorGamut,
-                       use_base_cg: bool):
+                       use_base_cg: bool, gain_halo_row=None,
+                       edge_is_last=None):
     """Fused decode: SDR YUV (3,H,W) + gain map (C,mh,mw) u8 -> packed output.
 
     Output dtype: uint64 RGBAF16 (LINEAR) or uint32 RGBA1010102 (HLG/PQ)
-    (jpegr.cpp:1636-1680)."""
+    (jpegr.cpp:1636-1680).
+
+    gain_halo_row / edge_is_last: row-sharded IDW halo inputs (the next
+    shard's first map row + traced is-bottom-shard flag) — see
+    idw.idw_upsample_sharded; None for the single-device path."""
     h, w = sdr_yuv.shape[1], sdr_yuv.shape[2]
     out_ct_e = ColorTransfer(out_ct)
-    if (scale_k == 1 and jax.default_backend() != "cpu"
+    if (scale_k == 1 and gain_halo_row is None
+            and jax.default_backend() != "cpu"
             and out_ct_e in (ColorTransfer.HLG, ColorTransfer.PQ,
                              ColorTransfer.LINEAR)):
         # TPU: tile-resident Pallas kernel (ops/pallas_apply.py), the GLES
@@ -98,7 +104,13 @@ def apply_gainmap_core(sdr_yuv, gain_u8, metadata_arrays, *, scale_k: int,
     if not use_base_cg:
         rgb_sdr = colors.convert_gamut(rgb_sdr, gamut_m)
 
-    gain = idw.idw_upsample(gain_u8.astype(jnp.float32) / 255.0, scale_k, h, w)
+    gain_f = gain_u8.astype(jnp.float32) / 255.0
+    if gain_halo_row is not None and scale_k > 1:
+        gain = idw.idw_upsample_sharded(
+            gain_f, gain_halo_row.astype(jnp.float32) / 255.0,
+            edge_is_last, scale_k, h, w)
+    else:
+        gain = idw.idw_upsample(gain_f, scale_k, h, w)
     rgb_hdr = apply_gain(rgb_sdr, gain, metadata_arrays, weight)
 
     if use_base_cg:

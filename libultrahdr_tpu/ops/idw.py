@@ -66,17 +66,13 @@ def _tile_to(x, h: int, w: int):
     return jnp.tile(x, (reps_h, reps_w))[:h, :w]
 
 
-def idw_upsample(gainmap, k: int, out_h: int, out_w: int):
-    """Integer-factor IDW upsample: (C, mh, mw) float -> (C, out_h, out_w).
-
-    Matches sampleMap/sampleMap3Channel with ShepardsIDW tables
-    (gainmapmath.cpp:923-956, 1026-1080)."""
-    if k == 1 and gainmap.shape[-2:] == (out_h, out_w):
-        return gainmap
+def _idw_core(gainmap, down, k: int, out_h: int, out_w: int, rr):
+    """Shared IDW evaluation: `down` is the resolved next-map-row field and
+    `rr` the bottom-edge table-switch mask ((out_h, 1) bool, possibly traced
+    for the sharded variant)."""
     c, mh, mw = gainmap.shape
     # 4 dense neighbor fields (nearest-replicated, 'upper' = clamp-shifted)
     e1 = jnp.repeat(jnp.repeat(gainmap, k, axis=1), k, axis=2)[:, :out_h, :out_w]
-    down = _shift_clamp(gainmap, 1)
     right = _shift_clamp(gainmap, 2)
     both = _shift_clamp(down, 2)
     e2 = jnp.repeat(jnp.repeat(down, k, axis=1), k, axis=2)[:, :out_h, :out_w]
@@ -86,8 +82,6 @@ def idw_upsample(gainmap, k: int, out_h: int, out_w: int):
     tables = shepards_weight_tables(k)  # (4, k, k, 4)
     # edge masks: x_lower == x_upper when x//k >= mw-1 (same for y)
     col = (jnp.arange(out_w) // k) >= (mw - 1)   # (W,) right-edge
-    row = (jnp.arange(out_h) // k) >= (mh - 1)   # (H,) bottom-edge
-    rr = row[:, None]
     cc = col[None, :]
 
     out = jnp.zeros((c, out_h, out_w), jnp.float32)
@@ -99,6 +93,36 @@ def idw_upsample(gainmap, k: int, out_h: int, out_w: int):
         w = jnp.where(rr & cc, w_c, jnp.where(cc, w_nr, jnp.where(rr, w_nb, w_d)))
         out = out + (e1, e2, e3, e4)[j] * w[None]
     return out
+
+
+def idw_upsample(gainmap, k: int, out_h: int, out_w: int):
+    """Integer-factor IDW upsample: (C, mh, mw) float -> (C, out_h, out_w).
+
+    Matches sampleMap/sampleMap3Channel with ShepardsIDW tables
+    (gainmapmath.cpp:923-956, 1026-1080)."""
+    if k == 1 and gainmap.shape[-2:] == (out_h, out_w):
+        return gainmap
+    mh = gainmap.shape[1]
+    down = _shift_clamp(gainmap, 1)
+    rr = ((jnp.arange(out_h) // k) >= (mh - 1))[:, None]   # bottom edge
+    return _idw_core(gainmap, down, k, out_h, out_w, rr)
+
+
+def idw_upsample_sharded(gainmap, halo_row, is_last, k: int, out_h: int,
+                         out_w: int):
+    """Row-sharded IDW upsample (SURVEY.md: the map box/IDW halo is the only
+    cross-shard dependency in apply).
+
+    gainmap: this shard's (C, mh_local, mw) rows; halo_row: (C, 1, mw) —
+    the NEXT shard's first map row (from a ppermute over the "spatial"
+    axis), or this shard's own last row on the last shard; is_last: traced
+    bool scalar — switches the bottom-edge Shepard tables on only where the
+    global image edge actually is."""
+    mh = gainmap.shape[1]
+    ext = jnp.concatenate([gainmap, halo_row], axis=1)
+    down = ext[:, 1:, :]
+    rr = (((jnp.arange(out_h) // k) >= (mh - 1)) & is_last)[:, None]
+    return _idw_core(gainmap, down, k, out_h, out_w, rr)
 
 
 def idw_upsample_fractional(gainmap, scale: float, out_h: int, out_w: int):

@@ -45,7 +45,7 @@ from ..ops import tonemap as tonemap_ops
 
 def _encode_pixels_p010(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
                         rng: ColorRange, scale: int, multichannel: bool,
-                        gamma: float):
+                        gamma: float, use_base_cg: bool = True):
     """P010 HDR planes -> (sdr y/u/v uint8, one-pass gain map uint8).
 
     The complete API-0 device-side pixel pipeline: unpack -> toneMap ->
@@ -63,7 +63,7 @@ def _encode_pixels_p010(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
         sdr_vals, hdr_vals, sdr_fmt=ImgFmt.YUV420, hdr_fmt=ImgFmt.P010,
         sdr_cg=ColorGamut.DISPLAY_P3, hdr_cg=cg, ct=ct, scale=scale,
         multichannel=multichannel, gamma=gamma, use_luminance=False,
-        sdr_is_601=False, use_base_cg=True, max_boost=max_boost)
+        sdr_is_601=False, use_base_cg=use_base_cg, max_boost=max_boost)
     return y8, u8, v8, gm
 
 
@@ -228,7 +228,8 @@ def sharded_encode_jpeg_step(mesh: Mesh, *, cg=ColorGamut.BT2100,
         h, w = y.shape
         y8, u8, v8, gm = _encode_pixels_p010(
             y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
-            multichannel=multichannel, gamma=gamma)
+            multichannel=multichannel, gamma=gamma,
+            use_base_cg=use_base_cg)
         layout = device_entropy.scan_layout(((2, 2), (1, 1), (1, 1)),
                                             w // 16, h // 16)
         base_words, base_off = device_entropy.pack_scan_device(
@@ -287,22 +288,22 @@ def assemble_sharded_scan(words: np.ndarray, offs: np.ndarray) -> bytes:
                                     np.asarray(ends))
 
 
-def sharded_apply_step(mesh: Mesh, *, out_ct=ColorTransfer.HLG,
+def sharded_apply_step(mesh: Mesh, *, scale_k: int = 1,
+                       out_ct=ColorTransfer.HLG,
                        sdr_cg=ColorGamut.DISPLAY_P3,
-                       hdr_cg=ColorGamut.BT2100, use_base_cg: bool = True):
+                       hdr_cg=ColorGamut.BT2100, use_base_cg: bool = True,
+                       weight: float = 1.0):
     """Build the jitted multi-chip decode apply-gainmap step.
 
-    Input: sdr_yuv (B, 3, H, W) f32, gain (B, C, H, W) f32-normalized u8
-    grid at full resolution (library-default map scale factor 1,
-    jpegr.h:27-42 — scale>1 upsampling has cross-row IDW halos and runs in
-    the single-chip path), metadata arrays replicated.  B shards over
-    "data", H over "spatial"; the pipeline is pointwise so no collectives."""
-
-    def per_image(sdr_yuv, gain, meta):
-        return apply_ops.apply_gainmap_core(
-            sdr_yuv, gain, meta, scale_k=1, weight=jnp.float32(1.0),
-            out_ct=out_ct, sdr_cg=sdr_cg, hdr_cg=hdr_cg,
-            use_base_cg=use_base_cg)
+    Input: sdr_yuv (B, 3, H, W) f32, gain (B, C, H/scale_k, W/scale_k)
+    f32-normalized u8 grid, metadata arrays replicated.  B shards over
+    "data", rows over "spatial"; all pixel math is pointwise, and for
+    scale_k > 1 the IDW map upsample needs exactly ONE map row of halo
+    (= `map_scale_factor` image pixels, SURVEY.md §5): each shard pulls the
+    next shard's first map row with a `ppermute` over "spatial" and the
+    bottom shard clamps to its own last row — the sharded output is
+    bit-identical to the single-device apply (tests/test_parallel.py)."""
+    n_spatial = mesh.shape["spatial"]
 
     img_spec = P("data", None, "spatial", None)
     meta_spec = {k: P() for k in ("gamma", "min_content_boost",
@@ -315,6 +316,24 @@ def sharded_apply_step(mesh: Mesh, *, out_ct=ColorTransfer.HLG,
                        in_specs=(img_spec, img_spec, meta_spec),
                        out_specs=out_spec, check_vma=False)
     def step(sdr_yuv, gain, meta):
-        return jax.vmap(lambda s, g: per_image(s, g, meta))(sdr_yuv, gain)
+        halo, is_last = None, None
+        if scale_k > 1 and n_spatial > 1:
+            first_row = gain[:, :, :1, :]
+            halo = jax.lax.ppermute(
+                first_row, "spatial",
+                [(s + 1, s) for s in range(n_spatial - 1)])
+            is_last = jax.lax.axis_index("spatial") == n_spatial - 1
+            halo = jnp.where(is_last, gain[:, :, -1:, :], halo)
+
+        def per_image(s, g, h):
+            return apply_ops.apply_gainmap_core(
+                s, g, meta, scale_k=scale_k, weight=jnp.float32(weight),
+                out_ct=out_ct, sdr_cg=sdr_cg, hdr_cg=hdr_cg,
+                use_base_cg=use_base_cg, gain_halo_row=h,
+                edge_is_last=is_last)
+
+        if halo is None:
+            return jax.vmap(lambda s, g: per_image(s, g, None))(sdr_yuv, gain)
+        return jax.vmap(per_image)(sdr_yuv, gain, halo)
 
     return jax.jit(step)

@@ -84,6 +84,38 @@ def test_sharded_apply_matches_single():
         np.testing.assert_array_equal(got[i], np.asarray(want))
 
 
+@pytest.mark.parametrize("scale_k,channels", [(4, 1), (4, 3), (2, 3)])
+def test_sharded_apply_scaled_matches_single(scale_k, channels):
+    """Row-sharded apply at map scale > 1 (the Android-default config is
+    scale 4, jpegr.h:28-43) must be BIT-identical to the single-device
+    apply — the ppermute IDW halo (SURVEY.md §5) carries the only
+    cross-shard dependency."""
+    b, h, w = 2, 64, 128
+    rs = np.random.RandomState(3)
+    sdr = rs.rand(b, 3, h, w).astype(np.float32)
+    sdr[:, 1:] -= 0.5
+    gain = rs.randint(0, 256, (b, channels, h // scale_k, w // scale_k)) \
+        .astype(np.float32) / 255.0
+    meta = {"gamma": np.full(3, 1.3, np.float32),
+            "min_content_boost": np.ones(3, np.float32),
+            "max_content_boost": np.full(3, 4.0, np.float32),
+            "offset_sdr": np.full(3, 1e-7, np.float32),
+            "offset_hdr": np.full(3, 1e-7, np.float32)}
+
+    mesh = parallel.make_mesh(2, 4)
+    for out_ct in (ColorTransfer.HLG, ColorTransfer.LINEAR):
+        step = parallel.sharded_apply_step(mesh, scale_k=scale_k,
+                                           out_ct=out_ct)
+        got = np.asarray(jax.block_until_ready(step(sdr, gain, meta)))
+        for i in range(b):
+            want = apply_ops.apply_gainmap_core(
+                jnp.asarray(sdr[i]), jnp.asarray(gain[i]), meta,
+                scale_k=scale_k, weight=jnp.float32(1.0), out_ct=out_ct,
+                sdr_cg=ColorGamut.DISPLAY_P3, hdr_cg=ColorGamut.BT2100,
+                use_base_cg=True)
+            np.testing.assert_array_equal(got[i], np.asarray(want))
+
+
 def test_sharded_jpeg_pack_bit_identical():
     """Full sharded encode (DCT + entropy pack per spatial shard) must
     reassemble to the EXACT bytes of the single-device pack — restart rows
@@ -107,12 +139,13 @@ def test_sharded_jpeg_pack_bit_identical():
             cg=ColorGamut.BT2100, ct=ColorTransfer.HLG,
             rng=ColorRange.FULL, scale=scale, multichannel=False,
             gamma=1.0, quality=95, map_quality=95, use_base_cg=False)
-        base_ref = native.stuff_scan(
-            np.asarray(fused.device_entropy.words_to_bytes(out[0])),
-            np.asarray(out[1]))
-        gm_ref = native.stuff_scan(
-            np.asarray(fused.device_entropy.words_to_bytes(out[2])),
-            np.asarray(out[3]))
+        base_ref = fused.fetch_blocks(
+            out[0], np.asarray(out[1]),
+            fused._layout_for(h, w, fused._SAMPLING_420).bpr)
+        gm_ref = fused.fetch_blocks(
+            out[2], np.asarray(out[3]),
+            fused._layout_for(h // scale, w // scale,
+                              fused._SAMPLING_400).bpr)
 
         n_sp = mesh.shape["spatial"]
         base_scan = assemble_sharded_scan(
@@ -123,8 +156,28 @@ def test_sharded_jpeg_pack_bit_identical():
         # assembled scan must match the single-device pack EXACTLY
         assert base_scan == base_ref
         # the gain map's box-downsample mean reassociates differently per
-        # program shape (+-1 code), so its scan only matches approximately
-        assert abs(len(gm_scan) - len(gm_ref)) <= 32
+        # program shape (+-1 code), so compare DECODED content: wrap both
+        # scans in a JPEG and require the pixel difference of the decoded
+        # maps to stay within the reassociation budget
+        from libultrahdr_tpu.jpeg.decoder import decode_to_planes, parse_jpeg
+        from libultrahdr_tpu.jpeg.encoder import assemble_jpeg
+        from libultrahdr_tpu.jpeg.tables import (STD_CHROMA_QUANT,
+                                                 STD_LUMA_QUANT,
+                                                 scaled_quant_table)
+        mh, mw = h // scale, w // scale
+        q = scaled_quant_table(STD_LUMA_QUANT, 95)
+        qc = scaled_quant_table(STD_CHROMA_QUANT, 95)
+        planes = []
+        for scan in (gm_scan, gm_ref):
+            jpg = assemble_jpeg(mh, mw, [(1, 1)], q, qc, scan,
+                                dri=-(-mw // 8))
+            p = decode_to_planes(jpg, parse_jpeg(jpg))[0][0]
+            planes.append(np.asarray(p, np.int16))
+        diff = np.abs(planes[0] - planes[1])
+        assert diff.max() <= 4, f"decoded gain maps differ by {diff.max()}"
+        mse = float(np.mean((planes[0] - planes[1]).astype(np.float64) ** 2))
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+        assert psnr >= 60.0, f"gain map PSNR {psnr:.1f} dB < 60"
 
 
 def test_row_shard_constraint():
