@@ -1,0 +1,373 @@
+// Host (CPU) decode fast path: fused IDCT + gain-map apply.
+//
+// Role: the reference's decode contract delivers the HDR frame into HOST
+// memory (decodeJPEGR, /root/reference/lib/src/jpegr.cpp:1384-1699).  On a
+// host whose device link is orders slower than PCIe, shipping a 33 MB
+// RGBA1010102 frame down from the TPU loses to a pure-CPU pipeline, so the
+// framework keeps a native decode engine for host-resident outputs — the
+// same architectural split as the reference's CPU path vs its GLES path.
+//
+// Design (not a translation): one pass per row group, staged into small
+// float rows so the compiler autovectorizes (AVX-512 here), with the
+// reference's own LUT discretizations (gainmapmath.h:274-342,449-450)
+// reproduced so results match the XLA path's grid-quantized math:
+//   - sRGB inverse OETF: 1024-entry LUT (gainmapmath.cpp:127-134)
+//   - gain factor: 1024-entry per-channel LUT over the post-gamma gain
+//     (GainLUT, gainmapmath.h:452-495)
+//   - HLG/PQ OETF: 65536-entry LUT composed with the inverse OOTF
+//     (hlgInverseOotfApprox per-channel pow(1/1.2), gainmapmath.cpp:304)
+//     and the 10-bit quantizer, so the hot loop's transfer step is one
+//     u16 table fetch.
+//   - IDCT: AAN (Arai-Agui-Nakajima) float 8x8 with the dequant scale
+//     folded into the quant table.
+//   - gain map upsampling: Shepard's IDW with the reference's per-phase
+//     weight tables (fillShepardsIDW, gainmapmath.cpp:43-80), evaluated
+//     per k-phase so weights are compile-time-invariant in the inner loop.
+//
+// Numeric contract: matches the device path within the 1e-4 / >=60 dB
+// gates (tests/test_host_decode.py); not bit-identical (libm vs XLA
+// transcendentals).
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// IDCT: separable 8x8 basis multiply (s = B . F . B^T) with the dequant
+// folded into the coefficient load.  Straight-line 8-wide inner loops
+// autovectorize; ~16 fma/pixel is ~35 ms for a 4K Y plane here.
+
+const uint8_t kZigzagToNatural[64] = {
+    // zigzag position -> natural (row-major) index (T.81 Figure A.6)
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
+
+// B[n][k] = c(k)/2 * cos((2n+1) k pi / 16)
+void build_idct_basis(float* B) {
+  for (int n = 0; n < 8; n++)
+    for (int k = 0; k < 8; k++) {
+      double ck = k == 0 ? std::sqrt(0.125) : 0.5;
+      B[n * 8 + k] = (float)(ck * std::cos((2 * n + 1) * k * M_PI / 16.0));
+    }
+}
+
+inline uint8_t clamp_u8(float x) {
+  int v = (int)lrintf(x);
+  return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+}  // namespace
+
+// Zigzag int16 coefficient blocks -> u8 plane.
+// coeffs: (bh, bw, 64); out: (bh*8, out_stride) buffer.
+extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
+                                const int32_t* qt_natural, uint8_t* out,
+                                int64_t out_stride) {
+  float B[64];
+  build_idct_basis(B);
+  float dq[64];  // dequant multipliers in zigzag load order
+  for (int zz = 0; zz < 64; zz++)
+    dq[zz] = (float)qt_natural[kZigzagToNatural[zz]];
+
+  float F[64], T[64], S[64];
+  for (int64_t by = 0; by < bh; by++) {
+    for (int64_t bx = 0; bx < bw; bx++) {
+      const int16_t* src = coeffs + (by * bw + bx) * 64;
+      for (int i = 0; i < 64; i++) F[i] = 0.0f;
+      for (int zz = 0; zz < 64; zz++)
+        F[kZigzagToNatural[zz]] = (float)src[zz] * dq[zz];
+      // T = B . F  (rows: spatial y, cols: freq v)
+      for (int y = 0; y < 8; y++)
+        for (int v = 0; v < 8; v++) {
+          float acc = 0.0f;
+          for (int u = 0; u < 8; u++) acc += B[y * 8 + u] * F[u * 8 + v];
+          T[y * 8 + v] = acc;
+        }
+      // S = T . B^T
+      for (int y = 0; y < 8; y++)
+        for (int x = 0; x < 8; x++) {
+          float acc = 0.0f;
+          for (int v = 0; v < 8; v++) acc += T[y * 8 + v] * B[x * 8 + v];
+          S[y * 8 + x] = acc;
+        }
+      uint8_t* dst = out + (by * 8) * out_stride + bx * 8;
+      for (int r = 0; r < 8; r++)
+        for (int c = 0; c < 8; c++)
+          dst[r * out_stride + c] = clamp_u8(S[r * 8 + c] + 128.0f);
+    }
+  }
+}
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// apply LUTs
+
+struct ApplyLuts {
+  float srgb_inv[1024];      // sRGB EOTF on the 1024 grid
+  float gainf[3][1024];      // per-channel gain factor over post-gamma gain
+  uint16_t oetf10[65536];    // [scaled linear 65536 grid] -> 10-bit code
+  bool oetf_valid = false;
+};
+
+float srgb_inv_oetf(float e) {
+  return e <= 0.04045f ? e / 12.92f : powf((e + 0.055f) / 1.055f, 2.4f);
+}
+
+float hlg_oetf(float e) {
+  // ITU-R BT.2100-2 Table 5 (gainmapmath.cpp:238-247)
+  return e <= 1.0f / 12.0f ? sqrtf(3.0f * e)
+                           : 0.17883277f * logf(12.0f * e - 0.28466892f) +
+                                 0.55991073f;
+}
+
+float pq_oetf(float e) {
+  // ITU-R BT.2100-2 Table 4 (gainmapmath.cpp:313-318)
+  if (e <= 0.0f) return 0.0f;
+  const float m1 = 2610.0f / 16384.0f, m2 = 2523.0f / 4096.0f * 128.0f;
+  const float c1 = 3424.0f / 4096.0f, c2 = 2413.0f / 4096.0f * 32.0f,
+              c3 = 2392.0f / 4096.0f * 32.0f;
+  float ep = powf(e, m1);
+  return powf((c1 + c2 * ep) / (1.0f + c3 * ep), m2);
+}
+
+void build_luts(ApplyLuts& L, const float* meta, float weight, int out_ct) {
+  for (int i = 0; i < 1024; i++)
+    L.srgb_inv[i] = srgb_inv_oetf((float)i / 1023.0f);
+  const float* gamma = meta + 0;
+  const float* minb = meta + 3;
+  const float* maxb = meta + 6;
+  (void)gamma;
+  for (int c = 0; c < 3; c++) {
+    float lmin = log2f(minb[c]), lmax = log2f(maxb[c]);
+    for (int i = 0; i < 1024; i++) {
+      float g = (float)i / 1023.0f;  // post-gamma gain on the LUT grid
+      L.gainf[c][i] = exp2f((lmin * (1.0f - g) + lmax * g) * weight);
+    }
+  }
+  if (out_ct == 1) {  // HLG: inverse OOTF (pow 1/1.2) folded with OETF.
+    // Indexed on sqrt(x) so the grid is dense where the composite is steep
+    // (near black) — tighter than the reference's own linear-grid
+    // hlgOetfLUT there.  Entry j covers x = (j/65535)^2.
+    for (int i = 0; i < 65536; i++) {
+      float s = (float)i / 65535.0f;
+      float v = hlg_oetf(powf(s * s, 1.0f / 1.2f));
+      L.oetf10[i] = (uint16_t)lrintf(fminf(fmaxf(v, 0.0f), 1.0f) * 1023.0f);
+    }
+    L.oetf_valid = true;
+  } else if (out_ct == 2) {  // PQ
+    for (int i = 0; i < 65536; i++) {
+      float v = pq_oetf((float)i / 65535.0f);
+      L.oetf10[i] = (uint16_t)lrintf(fminf(fmaxf(v, 0.0f), 1.0f) * 1023.0f);
+    }
+    L.oetf_valid = true;
+  }
+}
+
+// Shepard's IDW weight tables (fillShepardsIDW, gainmapmath.cpp:43-80):
+// tables[t][phase_y][phase_x][4 neighbors], t = 0 interior, 1 right edge
+// (no-right), 2 bottom edge (no-bottom), 3 corner.
+void build_shepard(int k, std::vector<float>& out) {
+  out.assign(4 * k * k * 4, 0.0f);
+  const int inc[4][2] = {{1, 1}, {0, 1}, {1, 0}, {0, 0}};  // (right, bottom)
+  for (int t = 0; t < 4; t++) {
+    for (int y = 0; y < k; y++)
+      for (int x = 0; x < k; x++) {
+        float px = (float)x / k, py = (float)y / k;
+        float* w = &out[((t * k + y) * k + x) * 4];
+        float d1 = hypotf(px, py);
+        if (d1 == 0.0f) {
+          w[0] = 1.0f;
+          continue;
+        }
+        float nx = (float)inc[t][0], ny = (float)inc[t][1];
+        float ws[4] = {1.0f / d1, 1.0f / hypotf(px, py - ny),
+                       1.0f / hypotf(px - nx, py),
+                       1.0f / hypotf(px - nx, py - ny)};
+        float s = ws[0] + ws[1] + ws[2] + ws[3];
+        for (int j = 0; j < 4; j++) w[j] = ws[j] / s;
+      }
+  }
+}
+
+inline int lut1024(float x) {
+  int i = (int)(x * 1023.0f + 0.5f);
+  return i < 0 ? 0 : (i > 1023 ? 1023 : i);
+}
+
+inline int lut65536(float x) {
+  int i = (int)(x * 65535.0f + 0.5f);
+  return i < 0 ? 0 : (i > 65535 ? 65535 : i);
+}
+
+}  // namespace
+
+// Fused apply-gainmap on host.
+//
+// yp/up/vp: full-range YCbCr planes (up/vp subsampled by hf/vf, own stride).
+// gm: gain map, gm_channels in {1,3}, interleaved when 3 (c fastest),
+//     dims (mh, mw), integer upsample factor k (w <= mw*k, h <= mh*k).
+// meta: 15 floats [gamma[3], min_boost[3], max_boost[3], off_sdr[3],
+//       off_hdr[3]]; weight: gain application weight (jpegr.cpp:1556-1568).
+// out_ct: 0 linear (F16 u64 out), 1 HLG, 2 PQ (RGBA1010102 u32 out).
+// gamut_m: row-major 3x3 or nullptr; gamut_pre: apply before gain
+//     (use_base_cg == false) vs after (jpegr.cpp:1490-1505).
+// Returns 0 on success.
+extern "C" int uhdr_apply_gainmap_host(
+    const uint8_t* yp, int64_t y_stride, const uint8_t* up, const uint8_t* vp,
+    int64_t c_stride, int hf, int vf, int64_t w, int64_t h, const uint8_t* gm,
+    int gm_channels, int64_t mw, int64_t mh, int k, const float* meta,
+    float weight, int out_ct, const float* gamut_m, int gamut_pre,
+    void* out_buf) {
+  if (k < 1 || (gm_channels != 1 && gm_channels != 3)) return -1;
+  if (out_ct < 0 || out_ct > 2) return -2;
+
+  ApplyLuts* L = new ApplyLuts();
+  build_luts(*L, meta, weight, out_ct);
+  std::vector<float> shep;
+  build_shepard(k, shep);
+
+  const float* gamma = meta + 0;
+  const float* off_sdr = meta + 9;
+  const float* off_hdr = meta + 12;
+  bool unit_gamma = gamma[0] == 1.0f && gamma[1] == 1.0f && gamma[2] == 1.0f;
+
+  // Display-P3 YUV uses BT.601 coefficients (gainmapmath.cpp:166-168);
+  // JPEG-decoded base is always treated this way (jpegr.cpp:1592).
+  const float cb_b = 2.0f * (1.0f - 0.114f);          // 1.772
+  const float cr_r = 2.0f * (1.0f - 0.299f);          // 1.402
+  const float g_u = -0.114f * cb_b / 0.587f;
+  const float g_v = -0.299f * cr_r / 0.587f;
+
+  const float out_scale = out_ct == 1 ? 203.0f / 1000.0f
+                        : out_ct == 2 ? 203.0f / 10000.0f
+                                      : 1.0f;
+  const float lin_max = 10000.0f / 203.0f;
+
+  std::vector<float> rrow(w), grow(w), brow(w), gain_pg(w * 3);
+
+  uint32_t* out32 = (uint32_t*)out_buf;
+  uint64_t* out64 = (uint64_t*)out_buf;
+
+  for (int64_t y = 0; y < h; y++) {
+    const uint8_t* yr = yp + y * y_stride;
+    const uint8_t* ur = up + (y / vf) * c_stride;
+    const uint8_t* vr = vp + (y / vf) * c_stride;
+
+    // stage 1: YCbCr -> linear SDR RGB (vectorizable except the 1K gathers)
+    for (int64_t x = 0; x < w; x++) {
+      // 128-biased chroma: (val - 128)/255, matching getYuv*Pixel
+      // (gainmapmath.cpp:354-388) — NOT val/255 - 0.5
+      float yy = yr[x] * (1.0f / 255.0f);
+      float uu = (ur[x / hf] - 128.0f) * (1.0f / 255.0f);
+      float vv = (vr[x / hf] - 128.0f) * (1.0f / 255.0f);
+      float r = yy + cr_r * vv;
+      float g = yy + g_u * uu + g_v * vv;
+      float b = yy + cb_b * uu;
+      rrow[x] = L->srgb_inv[lut1024(fminf(fmaxf(r, 0.0f), 1.0f))];
+      grow[x] = L->srgb_inv[lut1024(fminf(fmaxf(g, 0.0f), 1.0f))];
+      brow[x] = L->srgb_inv[lut1024(fminf(fmaxf(b, 0.0f), 1.0f))];
+    }
+
+    if (gamut_m && gamut_pre) {
+      for (int64_t x = 0; x < w; x++) {
+        float r = rrow[x], g = grow[x], b = brow[x];
+        rrow[x] = gamut_m[0] * r + gamut_m[1] * g + gamut_m[2] * b;
+        grow[x] = gamut_m[3] * r + gamut_m[4] * g + gamut_m[5] * b;
+        brow[x] = gamut_m[6] * r + gamut_m[7] * g + gamut_m[8] * b;
+      }
+    }
+
+    // stage 2: IDW gain row (post-gamma, before the 1024 grid quantize)
+    {
+      int64_t my = y / k;
+      int py = (int)(y % k);
+      bool bottom = my >= mh - 1;
+      int64_t my1 = bottom ? mh - 1 : my + 1;
+      for (int64_t x = 0; x < w; x++) {
+        int64_t mx = x / k;
+        int px = (int)(x % k);
+        bool right = mx >= mw - 1;
+        int64_t mx1 = right ? mw - 1 : mx + 1;
+        int t = (bottom ? 2 : 0) + (right ? 1 : 0);
+        const float* wt = &shep[((t * k + py) * k + px) * 4];
+        for (int c = 0; c < gm_channels; c++) {
+          float e1 = gm[(my * mw + mx) * gm_channels + c];
+          float e2 = gm[(my1 * mw + mx) * gm_channels + c];
+          float e3 = gm[(my * mw + mx1) * gm_channels + c];
+          float e4 = gm[(my1 * mw + mx1) * gm_channels + c];
+          float gv = (wt[0] * e1 + wt[1] * e2 + wt[2] * e3 + wt[3] * e4) *
+                     (1.0f / 255.0f);
+          if (!unit_gamma) gv = powf(fmaxf(gv, 0.0f), 1.0f / gamma[c]);
+          gain_pg[x * 3 + c] = gv;
+        }
+        if (gm_channels == 1) {
+          gain_pg[x * 3 + 1] = gain_pg[x * 3];
+          gain_pg[x * 3 + 2] = gain_pg[x * 3];
+        }
+      }
+    }
+
+    // stage 3: apply gain (applyGainLUT, gainmapmath.cpp:849-855)
+    for (int64_t x = 0; x < w; x++) {
+      float gr = L->gainf[0][lut1024(gain_pg[x * 3 + 0])];
+      float gg = L->gainf[1][lut1024(gain_pg[x * 3 + 1])];
+      float gb = L->gainf[2][lut1024(gain_pg[x * 3 + 2])];
+      rrow[x] = (rrow[x] + off_sdr[0]) * gr - off_hdr[0];
+      grow[x] = (grow[x] + off_sdr[1]) * gg - off_hdr[1];
+      brow[x] = (brow[x] + off_sdr[2]) * gb - off_hdr[2];
+    }
+
+    if (gamut_m && !gamut_pre) {
+      for (int64_t x = 0; x < w; x++) {
+        float r = rrow[x], g = grow[x], b = brow[x];
+        rrow[x] = gamut_m[0] * r + gamut_m[1] * g + gamut_m[2] * b;
+        grow[x] = gamut_m[3] * r + gamut_m[4] * g + gamut_m[5] * b;
+        brow[x] = gamut_m[6] * r + gamut_m[7] * g + gamut_m[8] * b;
+      }
+    }
+
+    // stage 4: output transfer + pack
+    if (out_ct == 0) {  // LINEAR -> RGBA F16 (clampPixelFloatLinear)
+      for (int64_t x = 0; x < w; x++) {
+        float r = fminf(fmaxf(rrow[x], 0.0f), lin_max);
+        float g = fminf(fmaxf(grow[x], 0.0f), lin_max);
+        float b = fminf(fmaxf(brow[x], 0.0f), lin_max);
+        uint16_t hr, hg, hb;
+        _Float16 fr = (_Float16)r, fg = (_Float16)g, fb = (_Float16)b;
+        memcpy(&hr, &fr, 2);
+        memcpy(&hg, &fg, 2);
+        memcpy(&hb, &fb, 2);
+        out64[y * w + x] = (uint64_t)hr | ((uint64_t)hg << 16) |
+                           ((uint64_t)hb << 32) | ((uint64_t)0x3C00 << 48);
+      }
+    } else if (out_ct == 1) {  // HLG LUT is sqrt-warped (see build_luts)
+      for (int64_t x = 0; x < w; x++) {
+        float r = fminf(fmaxf(rrow[x] * out_scale, 0.0f), 1.0f);
+        float g = fminf(fmaxf(grow[x] * out_scale, 0.0f), 1.0f);
+        float b = fminf(fmaxf(brow[x] * out_scale, 0.0f), 1.0f);
+        uint32_t pr = L->oetf10[lut65536(sqrtf(r))];
+        uint32_t pg = L->oetf10[lut65536(sqrtf(g))];
+        uint32_t pb = L->oetf10[lut65536(sqrtf(b))];
+        out32[y * w + x] = pr | (pg << 10) | (pb << 20) | (0x3u << 30);
+      }
+    } else {  // PQ: linear grid, matching the reference's pqOetfLUT
+      for (int64_t x = 0; x < w; x++) {
+        float r = fminf(fmaxf(rrow[x] * out_scale, 0.0f), 1.0f);
+        float g = fminf(fmaxf(grow[x] * out_scale, 0.0f), 1.0f);
+        float b = fminf(fmaxf(brow[x] * out_scale, 0.0f), 1.0f);
+        uint32_t pr = L->oetf10[lut65536(r)];
+        uint32_t pg = L->oetf10[lut65536(g)];
+        uint32_t pb = L->oetf10[lut65536(b)];
+        out32[y * w + x] = pr | (pg << 10) | (pb << 20) | (0x3u << 30);
+      }
+    }
+  }
+  delete L;
+  return 0;
+}

@@ -17,14 +17,15 @@ import threading
 
 import numpy as np
 
-_SRC = pathlib.Path(__file__).parent / "_native" / "jpeg_entropy.cpp"
+_SRCS = [pathlib.Path(__file__).parent / "_native" / "jpeg_entropy.cpp",
+         pathlib.Path(__file__).parent / "_native" / "host_decode.cpp"]
 _LOCK = threading.Lock()
 _LIB = None
 
 
 def _build() -> pathlib.Path:
-    src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    blob = b"".join(s.read_bytes() for s in _SRCS)
+    tag = hashlib.sha256(blob).hexdigest()[:16]
     cache = pathlib.Path(os.environ.get(
         "UHDR_TPU_CACHE", os.path.expanduser("~/.cache/libultrahdr_tpu")))
     cache.mkdir(parents=True, exist_ok=True)
@@ -32,8 +33,8 @@ def _build() -> pathlib.Path:
     if not so.exists():
         tmp = so.with_suffix(".so.tmp")
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             str(_SRC), "-o", str(tmp)],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+            + [str(s) for s in _SRCS] + ["-o", str(tmp)],
             check=True, capture_output=True)
         os.replace(tmp, so)
     return so
@@ -81,8 +82,66 @@ def get_lib():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p]
+            lib.uhdr_idct_plane.restype = None
+            lib.uhdr_idct_plane.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_apply_gainmap_host.restype = ctypes.c_int
+            lib.uhdr_apply_gainmap_host.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_float, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
             _LIB = lib
     return _LIB
+
+
+def idct_plane(coeffs: np.ndarray, qt_natural: np.ndarray) -> np.ndarray:
+    """Host IDCT: (bh, bw, 64) int16 zigzag coeffs + natural-order quant
+    table -> (bh*8, bw*8) uint8 plane (AAN float, host_decode.cpp)."""
+    lib = get_lib()
+    c = np.ascontiguousarray(coeffs, np.int16)
+    q = np.ascontiguousarray(qt_natural, np.int32).reshape(64)
+    bh, bw = c.shape[:2]
+    out = np.empty((bh * 8, bw * 8), np.uint8)
+    lib.uhdr_idct_plane(c.ctypes.data, bh, bw, q.ctypes.data,
+                        out.ctypes.data, bw * 8)
+    return out
+
+
+def apply_gainmap_host(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                       hf: int, vf: int, w: int, h: int,
+                       gm: np.ndarray, k: int, meta15: np.ndarray,
+                       weight: float, out_ct: int,
+                       gamut_m: np.ndarray | None,
+                       gamut_pre: bool) -> np.ndarray:
+    """Fused host apply (host_decode.cpp uhdr_apply_gainmap_host).
+
+    gm: (mh, mw) u8 or (mh, mw, 3) u8.  Returns (h, w) uint32 packed
+    RGBA1010102 (out_ct 1/2) or (h, w) uint64 packed RGBAF16 (out_ct 0)."""
+    lib = get_lib()
+    yc = np.ascontiguousarray(y, np.uint8)
+    uc = np.ascontiguousarray(u, np.uint8)
+    vc = np.ascontiguousarray(v, np.uint8)
+    gmc = np.ascontiguousarray(gm, np.uint8)
+    ch = 3 if gmc.ndim == 3 else 1
+    mh, mw = gmc.shape[:2]
+    m = np.ascontiguousarray(meta15, np.float32).reshape(15)
+    gp = None
+    if gamut_m is not None:
+        gp = np.ascontiguousarray(gamut_m, np.float32).reshape(9)
+    out = np.empty((h, w), np.uint64 if out_ct == 0 else np.uint32)
+    rc = lib.uhdr_apply_gainmap_host(
+        yc.ctypes.data, yc.shape[1], uc.ctypes.data, vc.ctypes.data,
+        uc.shape[1], hf, vf, w, h, gmc.ctypes.data, ch, mw, mh, k,
+        m.ctypes.data, float(weight), int(out_ct),
+        gp.ctypes.data if gp is not None else None, int(bool(gamut_pre)),
+        out.ctypes.data)
+    if rc != 0:
+        raise RuntimeError(f"apply_gainmap_host failed: {rc}")
+    return out
 
 
 def _table_blobs(dc_tables, ac_tables):

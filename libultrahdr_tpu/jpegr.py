@@ -298,13 +298,17 @@ class JpegR:
             # quality can overflow it, in which case we fall through to the
             # general (host-entropy) path below.
             from .fused import (encode_api0_p010_fused,
-                                encode_api0_rgb_fused)
+                                encode_api0_rgb_fused,
+                                encode_api0_yuv444_10_fused)
             from .jpeg.device_entropy import PackOverflowError
             try:
                 if fmt == ImgFmt.P010:
                     return encode_api0_p010_fused(self, hdr, quality, exif)
                 if fmt in (ImgFmt.RGBA1010102, ImgFmt.RGBAF16):
                     return encode_api0_rgb_fused(self, hdr, quality, exif)
+                if fmt == ImgFmt.YUV444_10:
+                    return encode_api0_yuv444_10_fused(self, hdr, quality,
+                                                       exif)
             except PackOverflowError:
                 pass
         sdr = self.tone_map(hdr)
@@ -550,7 +554,8 @@ class JpegR:
                         [np.ascontiguousarray(rgb)])
 
     def decode_to_device(self, data: bytes, output_ct=ColorTransfer.HLG,
-                         max_display_boost: float = 3.4028235e38):
+                         max_display_boost: float = 3.4028235e38,
+                         effects=None):
         """Decode with the result left RESIDENT ON DEVICE (a jax array of
         packed RGBA1010102 uint32 / RGBAF16 components).
 
@@ -558,7 +563,12 @@ class JpegR:
         skipping the output download removes the dominant decode cost on
         bandwidth-limited hosts (BASELINE.md).  Returns
         (device_array, GainMapMetadata).  Raises UNSUPPORTED when the
-        stream needs the general (host round-trip) path."""
+        stream needs the general (host round-trip) path.
+
+        `effects` is an optional queue of api.{Mirror,Rotate,Crop,Resize}
+        Effect descriptors applied ON DEVICE to the packed output before it
+        is returned — the analog of the reference's GLES texture-side
+        effects (gpu/editorhelper_gl.cpp:1-355), with no host round trip."""
         output_ct = ColorTransfer(output_ct)
         if output_ct == ColorTransfer.SRGB:
             raise unsupported("device-resident decode targets HDR outputs")
@@ -580,7 +590,125 @@ class JpegR:
         if out is None:
             raise unsupported(
                 "stream shape not supported by the fused decode path")
-        return out[0], metadata
+        arr = out[0]
+        if effects:
+            from .ops.effects_device import apply_effects_packed
+            arr, _, _ = apply_effects_packed(arr, effects, pinfo.width,
+                                             pinfo.height)
+        return arr, metadata
+
+    def decode_host(self, data: bytes, output_ct=ColorTransfer.HLG,
+                    output_fmt=ImgFmt.RGBA1010102,
+                    max_display_boost: float = 3.4028235e38):
+        """Decode entirely on the HOST CPU (native C++ engine): Huffman +
+        IDCT + fused apply-gainmap in one pass (jpeg/_native/host_decode.cpp).
+
+        This is the fast path for the reference's decode contract — HDR
+        output in host memory (jpegr.cpp:1384-1699) — on hosts where the
+        device link is slower than recomputing on CPU (BASELINE.md transport
+        table).  decode_to_device() is the TPU serving path; decode() is the
+        device path with host download.
+
+        Returns (RawImage dest, GainMapMetadata).  Raises UNSUPPORTED for
+        streams needing the general path (progressive base, fractional map
+        scale, exotic sampling); numeric contract vs the device path is the
+        same >=60 dB gate, not bit-equality (libm vs XLA transcendentals)."""
+        from .jpeg import native as jnative
+        from . import fused as fused_mod
+        from .jpeg.decoder import get_output_sampling_format
+
+        output_ct = ColorTransfer(output_ct)
+        if output_ct not in (ColorTransfer.HLG, ColorTransfer.PQ,
+                             ColorTransfer.LINEAR):
+            raise unsupported("decode_host targets HDR outputs")
+        primary, gm_jpeg = self.extract_primary_and_gainmap(data)
+        if gm_jpeg is None:
+            raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                            "no gain map image present")
+        pinfo = parse_jpeg(primary)
+        gm_info = parse_jpeg(gm_jpeg)
+        metadata = self.parse_gainmap_metadata(gm_info.iso, gm_info.xmp,
+                                               pinfo.exif)
+        if pinfo.progressive or gm_info.progressive:
+            raise unsupported("progressive stream: use the general path")
+        if pinfo.num_components != 3 or gm_info.num_components not in (1, 3):
+            raise unsupported("unsupported component layout")
+        base_fmt = get_output_sampling_format(pinfo)
+        hf, vf = {ImgFmt.YUV444: (1, 1), ImgFmt.YUV422: (2, 1),
+                  ImgFmt.YUV420: (2, 2), ImgFmt.YUV440: (1, 2)}.get(
+                      base_fmt, (0, 0))
+        if hf == 0:
+            raise unsupported(f"unsupported base sampling {base_fmt}")
+        w, h = pinfo.width, pinfo.height
+        mw, mh = gm_info.width, gm_info.height
+        if mw == 0 or mh == 0 or w % mw or h % mh or w // mw != h // mh:
+            raise unsupported("fractional map scale: use the general path")
+        scale_k = w // mw
+        if gm_info.num_components == 3 and any(
+                c.h != 1 or c.v != 1 for c in gm_info.components):
+            raise unsupported("subsampled multichannel gain map")
+
+        sdr_cg = icc_mod.read_icc_color_gamut(pinfo.icc) if pinfo.icc \
+            else ColorGamut.UNSPECIFIED
+        gm_cg = icc_mod.read_icc_color_gamut(gm_info.icc) if gm_info.icc \
+            else ColorGamut.UNSPECIFIED
+        s_cg = ColorGamut.BT709 if sdr_cg == ColorGamut.UNSPECIFIED \
+            else ColorGamut(sdr_cg)
+        h_cg = s_cg if ColorGamut(gm_cg) == ColorGamut.UNSPECIFIED \
+            else ColorGamut(gm_cg)
+
+        from . import fused as _f
+        base_coeffs, base_qts, _ = _f.decode_coefficients(primary, pinfo)
+        gm_coeffs, gm_qts, _ = _f.decode_coefficients(gm_jpeg, gm_info)
+
+        planes = []
+        for i, (c, q) in enumerate(zip(base_coeffs, base_qts)):
+            planes.append(jnative.idct_plane(c, q))
+        if gm_info.num_components == 1:
+            gm_u8 = jnative.idct_plane(gm_coeffs[0], gm_qts[0])[:mh, :mw]
+        else:
+            gy = jnative.idct_plane(gm_coeffs[0], gm_qts[0])[:mh, :mw]
+            gcb = jnative.idct_plane(gm_coeffs[1], gm_qts[1])[:mh, :mw]
+            gcr = jnative.idct_plane(gm_coeffs[2], gm_qts[2])[:mh, :mw]
+            # RGB-coded gain map (full-range Rec601 YCbCr -> RGB)
+            yf = gy.astype(np.float32)
+            cb = gcb.astype(np.float32) - 128.0
+            cr = gcr.astype(np.float32) - 128.0
+            r = yf + 1.402 * cr
+            g = yf - 0.344136286 * cb - 0.714136286 * cr
+            b = yf + 1.772 * cb
+            gm_u8 = np.stack([np.clip(np.round(r), 0, 255),
+                              np.clip(np.round(g), 0, 255),
+                              np.clip(np.round(b), 0, 255)],
+                             axis=-1).astype(np.uint8)
+
+        weight = apply_ops.gainmap_weight(
+            max_display_boost, float(metadata.hdr_capacity_min),
+            float(metadata.hdr_capacity_max))
+        meta15 = np.concatenate([
+            np.asarray(metadata.gamma, np.float32),
+            np.asarray(metadata.min_content_boost, np.float32),
+            np.asarray(metadata.max_content_boost, np.float32),
+            np.asarray(metadata.offset_sdr, np.float32),
+            np.asarray(metadata.offset_hdr, np.float32)])
+        # NB: C++ meta layout is [gamma, min, max, off_sdr, off_hdr]
+        gamut_m = colors.gamut_conversion_matrix(h_cg, s_cg)
+        gm_arg = None if np.allclose(gamut_m, np.eye(3)) else gamut_m
+        ct_code = {ColorTransfer.LINEAR: 0, ColorTransfer.HLG: 1,
+                   ColorTransfer.PQ: 2}[output_ct]
+        packed = jnative.apply_gainmap_host(
+            planes[0], planes[1], planes[2], hf, vf, w, h, gm_u8, scale_k,
+            meta15, weight, ct_code, gm_arg,
+            gamut_pre=not bool(metadata.use_base_cg))
+
+        if output_ct == ColorTransfer.LINEAR:
+            comp = packed[..., None].view(np.uint16).reshape(h, w, 4)
+            dest = RawImage(ImgFmt.RGBAF16, h_cg, output_ct, ColorRange.FULL,
+                            w, h, [np.ascontiguousarray(comp)])
+        else:
+            dest = RawImage(ImgFmt.RGBA1010102, h_cg, output_ct,
+                            ColorRange.FULL, w, h, [packed])
+        return dest, metadata
 
     def _try_decode_fused(self, primary, pinfo, gm_jpeg, gm_info, metadata,
                           output_ct, max_display_boost, sdr_cg, gm_cg):
@@ -663,9 +791,9 @@ class JpegR:
             max_display_boost, float(metadata.hdr_capacity_min),
             float(metadata.hdr_capacity_max))
         packed, gm_u8 = fused_mod._fused_decode(
-            [jnp.asarray(c) for c in base_coeffs],
+            fused_mod.upload_coeff_planes(base_coeffs),
             [jnp.asarray(q) for q in base_qts],
-            [jnp.asarray(c) for c in gm_coeffs],
+            fused_mod.upload_coeff_planes(gm_coeffs),
             [jnp.asarray(q) for q in gm_qts],
             apply_ops.metadata_to_arrays(metadata), np.float32(weight),
             h=h, w=w, sampling_key=key, gm_channels=gm_info.num_components,

@@ -110,3 +110,31 @@ def test_api1_fused_boost_suggestions():
     _, md, _ = JpegR().decode(fused, output_ct=ColorTransfer.HLG,
                               return_gainmap=True)
     assert float(md.max_content_boost[0]) <= 4.0 + 1e-4
+
+
+def _yuv444_10():
+    rs = np.random.RandomState(7)
+    return RawImage(ImgFmt.YUV444_10, ColorGamut.BT2100, ColorTransfer.HLG,
+                    ColorRange.FULL, W, H,
+                    [rs.randint(0, 1024, (H, W)).astype(np.uint16),
+                     rs.randint(256, 768, (H, W)).astype(np.uint16),
+                     rs.randint(256, 768, (H, W)).astype(np.uint16)])
+
+
+@pytest.mark.parametrize("multichannel", [False, True])
+def test_api0_yuv444_10_fused_matches_general(multichannel):
+    """30bpp YCbCr444 HDR input (jpegr.cpp:178-190): fused path produces a
+    444-sampled base JPEG equivalent to the general path's."""
+    img = _yuv444_10()
+    jr = JpegR(map_dimension_scale_factor=2,
+               use_multi_channel_gainmap=multichannel,
+               preset=EncPreset.REALTIME)
+    fused = jr.encode_api0(img, quality=92)
+    general = jr.encode_api0(img, quality=92, use_fused=False)
+    _compare(fused, general)
+    # base image must really be 4:4:4 (jpegencoderhelper.cpp:26-43 row 444)
+    from libultrahdr_tpu.container import segments
+    from libultrahdr_tpu.jpeg import parse_jpeg
+    r = segments.scan_jpeg_images(fused, limit=2)
+    info = parse_jpeg(fused[r[0][0]:r[0][1]], parse_only=True)
+    assert all(c.h == 1 and c.v == 1 for c in info.components)

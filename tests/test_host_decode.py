@@ -1,0 +1,93 @@
+"""Native host decode engine (jpeg/_native/host_decode.cpp): the CPU fast
+path for the reference's decode-to-host-memory contract
+(jpegr.cpp:1384-1699).
+
+Gates:
+  - the C++ AAN IDCT matches the device (MXU) IDCT within 1 code value;
+  - full decode_host output matches the device decode path at >=55 dB
+    per 10-bit channel (libm vs XLA transcendentals + LUT grid choices
+    forbid bit-equality; the cross-implementation contract is the same
+    >=60 dB PSNR gate both paths pass against the reference binary).
+"""
+
+import numpy as np
+import pytest
+
+from libultrahdr_tpu.jpeg import native
+from libultrahdr_tpu.jpegr import JpegR
+from libultrahdr_tpu.types import (ColorGamut, ColorRange, ColorTransfer,
+                                   EncPreset, ImgFmt, RawImage)
+
+W, H = 128, 96
+
+
+def _p010(seed=6, w=W, h=H):
+    rs = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    lum = 0.5 + 0.4 * np.sin(xx / 17.0) * np.cos(yy / 13.0)
+    lum += rs.rand(h, w) * 0.05
+    y = (np.clip(lum * 1023, 0, 1023).astype(np.uint16) << 6)
+    uv = (rs.randint(300, 700, (h // 2, w)).astype(np.uint16) << 6)
+    return RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                    ColorRange.FULL, w, h, [y, uv])
+
+
+def test_host_idct_matches_device():
+    from libultrahdr_tpu.jpeg.dct import forward_plane, inverse_plane
+    from libultrahdr_tpu.jpeg.tables import (STD_LUMA_QUANT,
+                                             scaled_quant_table)
+    rs = np.random.RandomState(3)
+    plane = rs.randint(0, 256, (64, 80)).astype(np.uint8)
+    qt = scaled_quant_table(STD_LUMA_QUANT, 90)
+    coeffs = np.asarray(forward_plane(plane, qt))
+    dev = np.asarray(inverse_plane(coeffs, qt, 64, 80))
+    host = native.idct_plane(coeffs, qt)[:64, :80]
+    diff = np.abs(dev.astype(int) - host.astype(int))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 0.02
+
+
+def _psnr10(a, b, shift):
+    ca = ((a >> shift) & 0x3FF).astype(np.float64)
+    cb = ((b >> shift) & 0x3FF).astype(np.float64)
+    mse = np.mean((ca - cb) ** 2)
+    return 200.0 if mse == 0 else 10 * np.log10(1023.0 ** 2 / mse)
+
+
+@pytest.mark.parametrize("out_ct", [ColorTransfer.HLG, ColorTransfer.PQ])
+@pytest.mark.parametrize("scale,multichannel", [(1, False), (4, False),
+                                                (2, True)])
+def test_decode_host_matches_device_path(out_ct, scale, multichannel):
+    jr = JpegR(map_dimension_scale_factor=scale,
+               use_multi_channel_gainmap=multichannel,
+               preset=EncPreset.REALTIME)
+    data = jr.encode_api0(_p010(), quality=92)
+    dev, md_dev, _ = JpegR().decode(data, output_ct=out_ct)
+    host, md_host = JpegR().decode_host(data, output_ct=out_ct)
+    assert md_host.hdr_capacity_max == md_dev.hdr_capacity_max
+    assert host.w == dev.w and host.h == dev.h
+    pd, ph = np.asarray(dev.planes[0]), np.asarray(host.planes[0])
+    for s in (0, 10, 20):
+        psnr = _psnr10(pd, ph, s)
+        assert psnr >= 55.0, f"channel {s}: {psnr:.1f} dB"
+
+
+def test_decode_host_linear_f16():
+    jr = JpegR(map_dimension_scale_factor=2, preset=EncPreset.REALTIME)
+    data = jr.encode_api0(_p010(), quality=92)
+    dev, _, _ = JpegR().decode(data, output_ct=ColorTransfer.LINEAR,
+                               output_fmt=ImgFmt.RGBAF16)
+    host, _ = JpegR().decode_host(data, output_ct=ColorTransfer.LINEAR)
+    fd = np.asarray(dev.planes[0]).view(np.float16).astype(np.float64)
+    fh = np.asarray(host.planes[0]).view(np.float16).astype(np.float64)
+    mse = np.mean((fd[..., :3] - fh[..., :3]) ** 2)
+    peak = 10000.0 / 203.0
+    assert 10 * np.log10(peak ** 2 / max(mse, 1e-12)) >= 55.0
+
+
+def test_decode_host_rejects_srgb():
+    from libultrahdr_tpu.errors import UhdrError
+    jr = JpegR(map_dimension_scale_factor=2, preset=EncPreset.REALTIME)
+    data = jr.encode_api0(_p010(), quality=92)
+    with pytest.raises(UhdrError):
+        JpegR().decode_host(data, output_ct=ColorTransfer.SRGB)
