@@ -1,32 +1,44 @@
-"""Headline benchmark: API-0 4K encode throughput (MP/s) on one TPU chip.
+"""Headline benchmark suite on one TPU chip + the host CPU.
 
 Mirrors the reference benchmark methodology (wall-clock per op,
 /root/reference/benchmark/benchmark_test.cpp:526-539) on its API-0 config
-(:62-66): P010 BT2100/HLG input, q95, one-pass gain map.  Content is a
-synthetic natural scene (smooth gradients + soft shapes + mild texture) —
-the reference's own benchmark uses photographs, and compressed size (which
-bounds the TPU build's host-link transfer) is content-dependent.
+(:62-66): P010 BT2100/HLG input, q95, one-pass gain map, plus its decode
+configs (:481-494).  Content is a synthetic natural scene (smooth gradients
++ soft shapes + mild texture) — the reference's own benchmark uses
+photographs, and compressed size (which bounds this build's host-link
+transfer) is content-dependent.
 
 Baseline = the reference library built from /root/reference, measured on
 THIS machine on the SAME scene (single core == max threads here; the host
 has 1 CPU and the reference caps at min(cores,4), jpegr.cpp:732):
 
-    4K API-0 encode: 2.787 MP/s (2976 ms)    decode->HLG: 8.210 MP/s
+    4K API-0 encode: 2.787 MP/s (2976 ms)    decode->HLG1010102: 8.210 MP/s
 
 (measured 2026-08-16, /tmp/refbench + /tmp/scene_4k.p010; BASELINE.md.)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metrics (medians over reps; the tunnel link has +-30% variance):
+  headline  api0_encode_4k_p010_hlg — pipelined batch encode, host P010
+            input -> JPEG_R bytes on host (the reference's own contract).
+  extra.decode_host_4k_hlg — decode_host (native C++ engine), JPEG_R ->
+            RGBA1010102 in host memory (the reference's decode contract).
+  extra.decode_device_4k_hlg — decode_to_device, output left HBM-resident
+            (the TPU-serving contract; no 33 MB output download).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
+import statistics
 import time
 
 import numpy as np
 
-REF_ENCODE_4K_MPPS = 2.787  # reference, this host, same scene
+REF_ENCODE_4K_MPPS = 2.787   # reference, this host, same scene
+REF_DECODE_4K_MPPS = 8.210   # reference decode->HLG/RGBA1010102
 W, H = 3840, 2160
 BATCH = 8          # images in flight: overlaps upload/compute/download
-REPS = 3
+ENC_REPS = 3
+DEC_REPS = 5
 
 
 def make_scene(w, h, seed=11, phase=0.0):
@@ -67,22 +79,57 @@ def main():
                preset=0)
 
     # warmup: compile the fused program + fetch-slice buckets
-    encode_api0_p010_pipelined(jr, imgs[:2], quality=95)
+    outs = encode_api0_p010_pipelined(jr, imgs[:2], quality=95)
 
-    best = float("inf")
-    for _ in range(REPS):
+    # ---- encode headline (pipelined, host input) ----
+    enc_times = []
+    for _ in range(ENC_REPS):
         t0 = time.perf_counter()
         outs = encode_api0_p010_pipelined(jr, imgs, quality=95)
-        dt = time.perf_counter() - t0
-        best = min(best, dt / BATCH)
+        enc_times.append((time.perf_counter() - t0) / BATCH)
     assert all(len(o) > 10000 for o in outs)
+    enc_mpps = W * H / 1e6 / statistics.median(enc_times)
 
-    mpps = W * H / 1e6 / best
+    data = outs[0]
+
+    # ---- decode to host (native C++ engine) ----
+    d = JpegR()
+    dec_times = []
+    for _ in range(DEC_REPS):
+        t0 = time.perf_counter()
+        dest, _ = d.decode_host(data, output_ct=ColorTransfer.HLG)
+        dec_times.append(time.perf_counter() - t0)
+    assert dest.w == W and dest.planes[0].dtype == np.uint32
+    dec_host_mpps = W * H / 1e6 / statistics.median(dec_times)
+
+    # ---- decode to device-resident (TPU serving path) ----
+    # NB: block_until_ready is a no-op on the axon backend; force completion
+    # with a tiny dependent fetch (4 words), not a 33 MB download.
+    ddev_times = []
+    dev_arr = None
+    for i in range(DEC_REPS):
+        src = outs[i % len(outs)]
+        t0 = time.perf_counter()
+        dev_arr, _ = d.decode_to_device(src, output_ct=ColorTransfer.HLG)
+        np.asarray(dev_arr[:1, :4])
+        ddev_times.append(time.perf_counter() - t0)
+    dec_dev_mpps = W * H / 1e6 / statistics.median(ddev_times)
+
     print(json.dumps({
         "metric": "api0_encode_4k_p010_hlg",
-        "value": round(mpps, 3),
+        "value": round(enc_mpps, 3),
         "unit": "MP/s",
-        "vs_baseline": round(mpps / REF_ENCODE_4K_MPPS, 3),
+        "vs_baseline": round(enc_mpps / REF_ENCODE_4K_MPPS, 3),
+        "extra": {
+            "decode_host_4k_hlg_mpps": round(dec_host_mpps, 3),
+            "decode_host_vs_baseline": round(
+                dec_host_mpps / REF_DECODE_4K_MPPS, 3),
+            "decode_device_4k_hlg_mpps": round(dec_dev_mpps, 3),
+            "decode_device_vs_baseline": round(
+                dec_dev_mpps / REF_DECODE_4K_MPPS, 3),
+            "encode_reps": ENC_REPS, "decode_reps": DEC_REPS,
+            "stat": "median",
+        },
     }))
 
 
