@@ -59,9 +59,8 @@ def _rgb_to_ycbcr(rgb_u8_chw):
             for p in (y, cb, cr)]
 
 
-def _pack_planes(planes, sampling, qtables):
-    """MCU-pad, DCT/quant and Huffman-pack a plane set with the scatter-free
-    v2 packer; returns (out_words, block_len_bits, layout)."""
+def _scan_coeffs(planes, sampling, qtables):
+    """MCU-pad + DCT/quant a plane set; returns (coeffs, layout)."""
     hmax = max(h for h, _ in sampling)
     vmax = max(v for _, v in sampling)
     h0, w0 = planes[0].shape
@@ -71,7 +70,13 @@ def _pack_planes(planes, sampling, qtables):
     for p, (hs, vs), q in zip(planes, sampling, qtables):
         padded = _pad_edge(p, mcus_h * vs * 8, mcus_w * hs * 8)
         coeffs.append(forward_plane(padded, q))
-    layout = device_entropy.scan_layout(tuple(sampling), mcus_w, mcus_h)
+    return coeffs, device_entropy.scan_layout(tuple(sampling), mcus_w, mcus_h)
+
+
+def _pack_planes(planes, sampling, qtables):
+    """MCU-pad, DCT/quant and Huffman-pack a plane set with the scatter-free
+    v2 packer; returns (out_words, block_len_bits, layout)."""
+    coeffs, layout = _scan_coeffs(planes, sampling, qtables)
     words, blen = device_entropy.pack_scan_device_v2(coeffs, layout)
     return words, blen, layout
 
@@ -118,52 +123,85 @@ def _fused_api0_p010_packed(y_bits, uv_bits, *, h: int, w: int,
                                  use_base_cg=use_base_cg)
 
 
-def delta_encode_p010(plane: np.ndarray, uv_interleaved: bool) -> np.ndarray:
-    """Host half of the P010 upload wire codec: horizontal delta filter of
-    the 10-bit sample values (int16, lossless — deltas of 10-bit values fit
-    comfortably).
+def _delta7_decode_plane(words, esc_idx, esc_val, h: int, w: int,
+                         uv_interleaved: bool):
+    """Device half of the delta7 wire codec (native.pack_delta7): bit-sliced
+    7-bit delta codes -> u16 P010 samples (value in the 10 MSB).
 
-    The axon host<->device link compresses transfers, so wire cost tracks
-    the ENTROPY of the bytes, not their count: natural-image P010 rows are
-    smooth, and delta filtering collapses them to near-zero bytes (measured
-    ~2.3x faster than the same pixels as a dense 10-bit packing, which
-    destroys byte alignment and compresses poorly).  UV interleaved planes
-    delta U and V against their own previous sample (stride 2)."""
-    v = (plane.astype(np.uint16) >> 6).astype(np.int16)
+    Un-slicing is 7 static shift-ands per 32-sample group (no gather),
+    escapes patch via one tiny scatter, and the row cumsum undoes the
+    delta filter (per-channel stride for interleaved UV)."""
+    n = h * w
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    s = jnp.zeros((words.shape[0], 32), jnp.int32)
+    for j in range(7):
+        s = s | (((words[:, j:j + 1] >> lanes) & 1) << j).astype(jnp.int32)
+    d = s.reshape(-1)[:n] - 64
+    d = d.at[esc_idx].set(esc_val.astype(jnp.int32), mode="drop")
     if uv_interleaved:
-        h2, w = v.shape
-        pairs = v.reshape(h2, w // 2, 2)
-        out = np.empty_like(pairs)
-        out[:, 0] = pairs[:, 0]
-        np.subtract(pairs[:, 1:], pairs[:, :-1], out=out[:, 1:])
-        return out.reshape(h2, w)
-    out = np.empty_like(v)
-    out[:, 0] = v[:, 0]
-    np.subtract(v[:, 1:], v[:, :-1], out=out[:, 1:])
-    return out
-
-
-def _delta_decode_plane(d, uv_interleaved: bool):
-    """Device half: int16 row deltas -> u16 P010 samples (10 MSB aligned)."""
-    if uv_interleaved:
-        h2, w = d.shape
-        pairs = d.astype(jnp.int32).reshape(h2, w // 2, 2)
-        vals = jnp.cumsum(pairs, axis=1).reshape(h2, w)
+        v = jnp.cumsum(d.reshape(h, w // 2, 2), axis=1).reshape(h, w) + 512
     else:
-        vals = jnp.cumsum(d.astype(jnp.int32), axis=1)
-    return (vals.astype(jnp.uint16) << 6)
+        v = jnp.cumsum(d.reshape(h, w), axis=1) + 512
+    return (v.astype(jnp.uint16) << 6)
+
+
+def _delta7_wire_layout(h: int, w: int):
+    """Word offsets of the single-buffer delta7 upload: [y words][uv words]
+    [y esc_idx i32][y esc_val i16][uv esc_idx][uv esc_val], all in one u32
+    buffer so each image costs ONE h2d transfer (the tunnel link pays a
+    fixed latency per transfer)."""
+    cap = native.DELTA7_ESC_CAP
+    ny = -(-(h * w) // 32) * 7
+    nuv = -(-((h // 2) * w) // 32) * 7
+    offs = [0, ny, ny + nuv]
+    offs.append(offs[-1] + cap)            # y esc_idx (i32)
+    offs.append(offs[-1] + cap // 2)       # y esc_val (i16)
+    offs.append(offs[-1] + cap)            # uv esc_idx
+    offs.append(offs[-1] + cap // 2)       # uv esc_val
+    return offs
+
+
+def pack_delta7_wire(y_plane: np.ndarray, uv_plane: np.ndarray):
+    """Host half: pack both P010 planes + escape lists into one u32 wire
+    buffer (see _delta7_wire_layout); None when escapes overflow."""
+    h, w = y_plane.shape
+    o = _delta7_wire_layout(h, w)
+    cap = native.DELTA7_ESC_CAP
+    buf = np.empty(o[-1], np.uint32)
+    ok = native.pack_delta7_into(
+        y_plane, False, buf[o[0]:o[1]].reshape(-1, 7),
+        buf[o[2]:o[3]].view(np.int32), buf[o[3]:o[4]].view(np.int16))
+    if ok and uv_plane.shape == (h // 2, w):
+        ok = native.pack_delta7_into(
+            uv_plane, True, buf[o[1]:o[2]].reshape(-1, 7),
+            buf[o[4]:o[5]].view(np.int32), buf[o[5]:o[6]].view(np.int16))
+    elif uv_plane.shape != (h // 2, w):
+        ok = False
+    return buf if ok else None
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cg", "ct", "rng", "scale", "multichannel", "gamma",
+    "h", "w", "cg", "ct", "rng", "scale", "multichannel", "gamma",
     "quality", "map_quality", "use_base_cg"))
-def _fused_api0_p010_delta(y_d, uv_d, *, cg: ColorGamut, ct: ColorTransfer,
-                           rng: ColorRange, scale: int, multichannel: bool,
-                           gamma: float, quality: int, map_quality: int,
-                           use_base_cg: bool):
-    """P010 fused API-0 taking delta-filtered uploads (the wire codec)."""
-    y = _delta_decode_plane(y_d, False)
-    uv = _delta_decode_plane(uv_d, True)
+def _fused_api0_p010_delta7(buf, *, h: int, w: int,
+                            cg: ColorGamut, ct: ColorTransfer,
+                            rng: ColorRange, scale: int, multichannel: bool,
+                            gamma: float, quality: int, map_quality: int,
+                            use_base_cg: bool):
+    """P010 fused API-0 on the single-buffer delta7 wire upload (~25%
+    fewer bytes than the dense 10-bit pack and one transfer per image;
+    the upload link binds the pipeline)."""
+    o = _delta7_wire_layout(h, w)
+    yw = buf[o[0]:o[1]].reshape(-1, 7)
+    uvw = buf[o[1]:o[2]].reshape(-1, 7)
+    yei = jax.lax.bitcast_convert_type(buf[o[2]:o[3]], jnp.int32)
+    yev = jax.lax.bitcast_convert_type(buf[o[3]:o[4]],
+                                       jnp.int16).reshape(-1)
+    uvei = jax.lax.bitcast_convert_type(buf[o[4]:o[5]], jnp.int32)
+    uvev = jax.lax.bitcast_convert_type(buf[o[5]:o[6]],
+                                        jnp.int16).reshape(-1)
+    y = _delta7_decode_plane(yw, yei, yev, h, w, False)
+    uv = _delta7_decode_plane(uvw, uvei, uvev, h // 2, w, True)
     return _fused_api0_p010_body(y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
                                  multichannel=multichannel, gamma=gamma,
                                  quality=quality, map_quality=map_quality,
@@ -183,11 +221,13 @@ def _fused_api0_p010(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
                                  use_base_cg=use_base_cg)
 
 
-def _fused_api0_p010_body(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
-                          rng: ColorRange, scale: int, multichannel: bool,
-                          gamma: float, quality: int, map_quality: int,
-                          use_base_cg: bool):
-    """P010 HDR -> (base_words, base_row_off, gm_words, gm_row_off)."""
+def _api0_p010_block_buffers(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
+                             rng: ColorRange, scale: int, multichannel: bool,
+                             gamma: float, quality: int, map_quality: int,
+                             use_base_cg: bool):
+    """P010 HDR -> per-scan [(bb, blen), ...] for base then gain map (the
+    batchable half of the fused API-0 program; the compaction runs once
+    over all scans — and all batched images — downstream)."""
     h, w = y.shape
     hdr_vals = pixel.unpack_p010(y, uv, rng, h, w)
     y8, u8, v8 = tonemap_ops.tonemap_to_yuv(hdr_vals, ImgFmt.P010, cg, ct,
@@ -202,18 +242,30 @@ def _fused_api0_p010_body(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
 
     qluma = scaled_quant_table(STD_LUMA_QUANT, quality)
     qchroma = scaled_quant_table(STD_CHROMA_QUANT, quality)
-    base_words, base_off, _ = _pack_planes(
+    base_coeffs, base_layout = _scan_coeffs(
         [y8, u8, v8], _SAMPLING_420, [qluma, qchroma, qchroma])
 
     mq_luma = scaled_quant_table(STD_LUMA_QUANT, map_quality)
     mq_chroma = scaled_quant_table(STD_CHROMA_QUANT, map_quality)
     if multichannel:
-        gm_planes = _rgb_to_ycbcr(gm)
-        gm_words, gm_off, _ = _pack_planes(
-            gm_planes, _SAMPLING_444, [mq_luma, mq_chroma, mq_chroma])
+        gm_coeffs, gm_layout = _scan_coeffs(
+            _rgb_to_ycbcr(gm), _SAMPLING_444,
+            [mq_luma, mq_chroma, mq_chroma])
     else:
-        gm_words, gm_off, _ = _pack_planes([gm[0]], _SAMPLING_400, [mq_luma])
-    return base_words, base_off, gm_words, gm_off
+        gm_coeffs, gm_layout = _scan_coeffs([gm[0]], _SAMPLING_400,
+                                            [mq_luma])
+    return [device_entropy._block_buffers(base_coeffs, base_layout),
+            device_entropy._block_buffers(gm_coeffs, gm_layout)]
+
+
+def _fused_api0_p010_body(y, uv, **kw):
+    """P010 HDR -> (words, blen_all u16): base and gain-map scans packed
+    back-to-back in ONE output buffer with ONE concatenated block-length
+    array, so the host drains each image with exactly two d2h transfers
+    (the link pays ~40 ms latency per transfer)."""
+    scans = _api0_p010_block_buffers(y, uv, **kw)
+    words, blens = device_entropy.compact_scans(scans)
+    return words, jnp.concatenate(blens)
 
 
 # ---------------------------------------------------------------------------
@@ -454,6 +506,29 @@ def fetch_blocks(words_dev, block_len_bits: np.ndarray, bpr: int) -> bytes:
     return native.join_blocks(host_words[:need_words], block_len_bits, bpr)
 
 
+def fetch_blocks_multi(words_dev, parts) -> list[bytes]:
+    """Drain several scans compacted back-to-back in one device buffer
+    (device_entropy.compact_scans) with a SINGLE d2h transfer.
+
+    parts: [(block_len_bits, bpr), ...] in packing order.  Returns the
+    joined scan bytes per part.  Raises PackOverflowError when the total
+    stream exceeded the shared word budget."""
+    needs = [device_entropy.total_words_v2(bl) for bl, _ in parts]
+    total = sum(needs)
+    if total > words_dev.shape[0]:
+        raise device_entropy.PackOverflowError(
+            f"scans need {total} words > budget {words_dev.shape[0]}")
+    bucket = min(-(-total // _FETCH_GRANULE) * _FETCH_GRANULE,
+                 words_dev.shape[0])
+    bucket = max(bucket, min(_FETCH_GRANULE, words_dev.shape[0]))
+    host_words = np.asarray(jax.lax.slice(words_dev, (0,), (bucket,)))
+    out, off = [], 0
+    for (bl, bpr), need in zip(parts, needs):
+        out.append(native.join_blocks(host_words[off:off + need], bl, bpr))
+        off += need
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "sampling_key", "gm_channels", "scale_k", "out_ct", "sdr_cg",
     "hdr_cg", "use_base_cg"))
@@ -586,20 +661,45 @@ def encode_api0_p010_pipelined(jr, imgs, quality: int = 95,
     with upload/compute/download pipelining on one chip; multi-chip scaling
     batches over the mesh (parallel/batch.py)."""
     import concurrent.futures as _cf
+    import os
 
-    handles = [(_dispatch_api0_p010(jr, img, quality), img) for img in imgs]
+    # chunk uniform images into K-batches: one upload, one program, two
+    # downloads per K images (the link pays ~40 ms fixed latency per
+    # transfer).  K defaults to 1 (off): the K>1 program is bit-identical
+    # and compiles quickly on CPU and at small shapes, but the 4K compile
+    # through the remote-compile TPU attachment is pathologically slow
+    # (>45 min for K=4); opt in with UHDR_TPU_BATCH_K when the compile
+    # cache is warm or compiles are local.
+    batch_k = max(1, int(os.environ.get("UHDR_TPU_BATCH_K", "1")))
+    jobs = []          # (kind, images, handle)
+    i = 0
+    while i < len(imgs):
+        chunk = imgs[i:i + batch_k]
+        handle = _dispatch_api0_p010_batch(jr, chunk, quality) \
+            if len(chunk) > 1 else None
+        if handle is not None:
+            jobs.append(("batch", chunk, handle))
+            i += len(chunk)
+        else:
+            jobs.append(("single", [imgs[i]],
+                         _dispatch_api0_p010(jr, imgs[i], quality)))
+            i += 1
 
-    def drain(arg):
-        h, img = arg
+    def drain(job):
+        kind, chunk, h = job
         try:
-            return _assemble_api0_p010(jr, img, quality, exif, *h)
+            if kind == "batch":
+                return _drain_api0_p010_batch(jr, chunk, quality, exif,
+                                              *h)
+            return [_assemble_api0_p010(jr, chunk[0], quality, exif, *h)]
         except device_entropy.PackOverflowError:
-            return jr.encode_api0(img, quality, exif, use_fused=False)
+            return [jr.encode_api0(im, quality, exif, use_fused=False)
+                    for im in chunk]
 
-    if len(handles) == 1:
-        return [drain(handles[0])]
+    if len(jobs) == 1:
+        return drain(jobs[0])
     with _cf.ThreadPoolExecutor(2) as ex:
-        return list(ex.map(drain, handles))
+        return [b for chunk in ex.map(drain, jobs) for b in chunk]
 
 
 def _dispatch_api0_p010(jr, img, quality: int):
@@ -610,17 +710,24 @@ def _dispatch_api0_p010(jr, img, quality: int):
         scale = s // 8 if s >= 8 else 1
         jr.map_dimension_scale_factor = scale
     use_base_cg = (cg != ColorGamut.BT2100) or jr.write_xmp
-    # wire format: dense 10-bit pack — the byte-minimal lossless form.
-    # (A delta-filter wire codec was measured too: the link does not
-    # compress transfers dependably, so fewer raw bytes wins.)
-    y_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[0]))
-    uv_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[1]))
-    out = _fused_api0_p010_packed(
-        jnp.asarray(y_bits), jnp.asarray(uv_bits), h=img.h, w=img.w,
-        cg=cg, ct=ct, rng=rng, scale=scale,
-        multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
-        quality=int(quality), map_quality=jr.map_compress_quality,
-        use_base_cg=use_base_cg)
+    common = dict(h=img.h, w=img.w, cg=cg, ct=ct, rng=rng, scale=scale,
+                  multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
+                  quality=int(quality), map_quality=jr.map_compress_quality,
+                  use_base_cg=use_base_cg)
+    # wire format: delta7 bit-sliced pack (~7 bits/sample; the upload link
+    # binds the pipeline), coalesced into ONE u32 buffer per image (the
+    # link also pays a fixed latency per transfer), with dense 10-bit
+    # fallback when the 7-bit delta escape list overflows
+    # (non-photographic content).  The link does not compress transfers
+    # dependably, so fewer raw bytes wins.
+    wire = pack_delta7_wire(img.planes[0], img.planes[1])
+    if wire is not None:
+        out = _fused_api0_p010_delta7(jnp.asarray(wire), **common)
+    else:
+        y_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[0]))
+        uv_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[1]))
+        out = _fused_api0_p010_packed(
+            jnp.asarray(y_bits), jnp.asarray(uv_bits), **common)
     return out + (scale, use_base_cg)
 
 
@@ -804,24 +911,131 @@ def encode_api0_p010_fused(jr, img, quality: int, exif: bytes | None) -> bytes:
     return _assemble_api0_p010(jr, img, quality, exif, *handle)
 
 
+def _api0_layouts(jr, h: int, w: int, scale: int):
+    """(base_layout, gm_layout) for the API-0 P010 pack order."""
+    gm_sampling = _SAMPLING_444 if jr.use_multi_channel_gainmap \
+        else _SAMPLING_400
+    return (_layout_for(h, w, _SAMPLING_420),
+            _layout_for(h // scale, w // scale, gm_sampling))
+
+
 def _assemble_api0_p010(jr, img, quality: int, exif: bytes | None,
-                        base_words, base_blen_d, gm_words, gm_blen_d,
-                        scale: int, use_base_cg: bool) -> bytes:
+                        words, blen_all_d, scale: int,
+                        use_base_cg: bool, blen_all=None) -> bytes:
     from .utils import stage
     ct = ColorTransfer(img.ct)
     cg = ColorGamut(img.cg)
-    with stage("encode.fetch_offsets"):
-        base_blen = np.asarray(base_blen_d)
-        gm_blen = np.asarray(gm_blen_d)
-    gm_sampling = _SAMPLING_444 if jr.use_multi_channel_gainmap \
-        else _SAMPLING_400
+    if blen_all is None:
+        with stage("encode.fetch_offsets"):
+            blen_all = np.asarray(blen_all_d)
+    bl, gl = _api0_layouts(jr, img.h, img.w, scale)
+    n_base = bl.mcus_h * bl.bpr
     with stage("encode.fetch_scans"):
-        base_scan = fetch_blocks(base_words, base_blen,
-                                 _layout_for(img.h, img.w, _SAMPLING_420).bpr)
-        gm_scan = fetch_blocks(gm_words, gm_blen,
-                               _layout_for(img.h // scale, img.w // scale,
-                                           gm_sampling).bpr)
+        base_scan, gm_scan = fetch_blocks_multi(
+            words, [(blen_all[:n_base], bl.bpr),
+                    (blen_all[n_base:], gl.bpr)])
     metadata = _onepass_metadata(jr, ct, use_base_cg)
     return _assemble_container(jr, img.w, img.h, quality, base_scan,
                                _SAMPLING_420, ColorGamut.DISPLAY_P3, scale,
                                gm_scan, metadata, exif, ct, cg)
+
+
+_BATCH_K = 4
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "h", "w", "cg", "ct", "rng", "scale", "multichannel", "gamma",
+    "quality", "map_quality", "use_base_cg"))
+def _fused_api0_p010_delta7_batch(bufs, *, k: int, h: int, w: int,
+                                  cg: ColorGamut, ct: ColorTransfer,
+                                  rng: ColorRange, scale: int,
+                                  multichannel: bool, gamma: float,
+                                  quality: int, map_quality: int,
+                                  use_base_cg: bool):
+    """K-image fused API-0 on stacked delta7 wire buffers.
+
+    Per-image stages run under lax.scan over the batch (NOT vmap: the
+    packer's unrolled shift-or trees explode vmap's compile time ~10x,
+    and a scan loses no parallelism on one chip); ONE shared compaction
+    lays every image's base+gainmap streams back-to-back, so a whole
+    batch drains with one tiny (blens) and one bulk (words) d2h — the
+    transfer count per image drops from ~5 to ~3/k, which matters on a
+    link with ~40 ms fixed latency per transfer."""
+    o = _delta7_wire_layout(h, w)
+
+    def per_image(_, buf):
+        yw = buf[o[0]:o[1]].reshape(-1, 7)
+        uvw = buf[o[1]:o[2]].reshape(-1, 7)
+        yei = jax.lax.bitcast_convert_type(buf[o[2]:o[3]], jnp.int32)
+        yev = jax.lax.bitcast_convert_type(buf[o[3]:o[4]],
+                                           jnp.int16).reshape(-1)
+        uvei = jax.lax.bitcast_convert_type(buf[o[4]:o[5]], jnp.int32)
+        uvev = jax.lax.bitcast_convert_type(buf[o[5]:o[6]],
+                                            jnp.int16).reshape(-1)
+        y = _delta7_decode_plane(yw, yei, yev, h, w, False)
+        uv = _delta7_decode_plane(uvw, uvei, uvev, h // 2, w, True)
+        scans = _api0_p010_block_buffers(
+            y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
+            multichannel=multichannel, gamma=gamma, quality=quality,
+            map_quality=map_quality, use_base_cg=use_base_cg)
+        return 0, (scans[0][0], scans[0][1], scans[1][0], scans[1][1])
+
+    _, (bbb, blb, bbg, blg) = jax.lax.scan(per_image, 0, bufs)
+    nb, ng = bbb.shape[1], bbg.shape[1]
+    cap = bbb.shape[2]
+    bb = jnp.concatenate([bbb, bbg], axis=1).reshape(k * (nb + ng), cap)
+    blen = jnp.concatenate([blb, blg], axis=1).reshape(-1)
+    w_out = k * (nb * device_entropy._default_budget(nb)
+                 + ng * device_entropy._default_budget(ng))
+    words = device_entropy._compact_blocks(bb, blen, w_out)
+    return words, blen.astype(jnp.uint16)
+
+
+def _dispatch_api0_p010_batch(jr, imgs, quality: int):
+    """Wire-pack + upload + dispatch a uniform batch; None when any image
+    can't take the delta7 wire path (caller dispatches singly)."""
+    img0 = imgs[0]
+    if any(im.w != img0.w or im.h != img0.h or im.cg != img0.cg
+           or im.ct != img0.ct or im.range != img0.range for im in imgs):
+        return None
+    wires = []
+    for im in imgs:
+        wire = pack_delta7_wire(im.planes[0], im.planes[1])
+        if wire is None:
+            return None
+        wires.append(wire)
+    cg, ct = ColorGamut(img0.cg), ColorTransfer(img0.ct)
+    rng = ColorRange(img0.range)
+    scale = _resolve_scale(jr, img0)
+    use_base_cg = (cg != ColorGamut.BT2100) or jr.write_xmp
+    out = _fused_api0_p010_delta7_batch(
+        jnp.asarray(np.stack(wires)), k=len(imgs), h=img0.h, w=img0.w,
+        cg=cg, ct=ct, rng=rng, scale=scale,
+        multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
+        quality=int(quality), map_quality=jr.map_compress_quality,
+        use_base_cg=use_base_cg)
+    return out + (scale, use_base_cg)
+
+
+def _drain_api0_p010_batch(jr, imgs, quality: int, exif, words, blen_all_d,
+                           scale: int, use_base_cg: bool) -> list[bytes]:
+    from .utils import stage
+    k = len(imgs)
+    img0 = imgs[0]
+    with stage("encode.fetch_offsets"):
+        blen_all = np.asarray(blen_all_d)
+    bl, gl = _api0_layouts(jr, img0.h, img0.w, scale)
+    n_base, n_gm = bl.mcus_h * bl.bpr, gl.mcus_h * gl.bpr
+    per = n_base + n_gm
+    parts = []
+    for i in range(k):
+        seg = blen_all[i * per:(i + 1) * per]
+        parts += [(seg[:n_base], bl.bpr), (seg[n_base:], gl.bpr)]
+    with stage("encode.fetch_scans"):
+        scans = fetch_blocks_multi(words, parts)
+    ct, cg = ColorTransfer(img0.ct), ColorGamut(img0.cg)
+    metadata = _onepass_metadata(jr, ct, use_base_cg)
+    return [_assemble_container(jr, im.w, im.h, quality, scans[2 * i],
+                                _SAMPLING_420, ColorGamut.DISPLAY_P3, scale,
+                                scans[2 * i + 1], metadata, exif, ct, cg)
+            for i, im in enumerate(imgs)]

@@ -13,6 +13,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -170,6 +171,78 @@ void uhdr_pack_p010_10bit(const uint16_t* in, int64_t n, uint16_t* out) {
       }
     }
   }
+}
+
+// Delta + bit-sliced wire packing of a P010 plane for host->device upload.
+//
+// The upload link (~50 MB/s tunnel) is the encode pipeline's binding
+// constraint; the 10-bit dense pack above moves 10 bits/sample.  Natural
+// and synthetic photographic content is horizontally smooth, so the
+// horizontal delta of the 10-bit values fits 7 bits for >99.4% of samples
+// (measured on the benchmark scenes).  Layout: per sample, code
+// s = clamp(delta + 64, [0,127]); groups of 32 consecutive flat samples
+// bit-slice into 7 uint32 words (word j holds bit j of all 32 samples in
+// its lanes), which the TPU un-slices with 7 static shift-ands — no
+// gather.  Out-of-range deltas store s=64 (delta 0) and are patched on
+// device from the (flat_idx, true_delta) escape list.  Deltas reset per
+// row (first column deltas against 512); UV interleaved planes delta
+// against the previous same-channel sample (stride 2).
+//
+// Returns the escape count, or -1 when it exceeds esc_cap (caller falls
+// back to the dense 10-bit pack).
+int64_t uhdr_pack_delta7(const uint16_t* in, int64_t rows, int64_t cols,
+                         int uv_interleaved, uint32_t* out_words,
+                         int32_t* esc_idx, int16_t* esc_val,
+                         int64_t esc_cap) {
+  int64_t n = rows * cols;
+  std::vector<uint8_t> codes(((n + 31) / 32) * 32, 64);
+  int64_t n_esc = 0;
+  for (int64_t r = 0; r < rows; r++) {
+    const uint16_t* src = in + r * cols;
+    uint8_t* dst = codes.data() + r * cols;
+    int32_t prev0 = 512, prev1 = 512;
+    if (uv_interleaved) {
+      for (int64_t c = 0; c < cols; c++) {
+        int32_t v = src[c] >> 6;
+        int32_t& prev = (c & 1) ? prev1 : prev0;
+        int32_t d = v - prev;
+        prev = v;
+        int32_t s = d + 64;
+        if ((uint32_t)s <= 127u) {
+          dst[c] = (uint8_t)s;
+        } else {
+          if (n_esc >= esc_cap) return -1;
+          esc_idx[n_esc] = (int32_t)(r * cols + c);
+          esc_val[n_esc++] = (int16_t)d;
+        }
+      }
+    } else {
+      for (int64_t c = 0; c < cols; c++) {
+        int32_t v = src[c] >> 6;
+        int32_t d = v - prev0;
+        prev0 = v;
+        int32_t s = d + 64;
+        if ((uint32_t)s <= 127u) {
+          dst[c] = (uint8_t)s;
+        } else {
+          if (n_esc >= esc_cap) return -1;
+          esc_idx[n_esc] = (int32_t)(r * cols + c);
+          esc_val[n_esc++] = (int16_t)d;
+        }
+      }
+    }
+  }
+  int64_t groups = (n + 31) / 32;
+  for (int64_t g = 0; g < groups; g++) {
+    const uint8_t* s = codes.data() + g * 32;
+    uint32_t w[7] = {0, 0, 0, 0, 0, 0, 0};
+    for (int i = 0; i < 32; i++) {
+      uint32_t c = s[i];
+      for (int j = 0; j < 7; j++) w[j] |= ((c >> j) & 1u) << i;
+    }
+    for (int j = 0; j < 7; j++) out_words[g * 7 + j] = w[j];
+  }
+  return n_esc;
 }
 
 // Finalize a device-packed scan: byte-stuff each restart row and join rows

@@ -455,24 +455,20 @@ def _combine8(gp, gl):
     return _append_words(q0, ql0, q1, ql1, 7, 3)
 
 
-def pack_scan_device_v2(coeff_planes, layout: ScanLayout,
-                        budget_words_per_block: int | None = None):
-    """Pack an interleaved baseline scan on device, scatter-free.
+def _default_budget(n_blocks: int) -> int:
+    # small scans get the full worst-case cap (overflow impossible,
+    # <=7 MB scratch); big scans get a lean budget with host fallback
+    return _BLOCK_CAP_WORDS if n_blocks <= 32768 else 16
 
-    Returns (out_words (n_blocks * budget_words_per_block,) uint32,
-    block_len_bits (n_blocks,) uint16).  Each block's bitstream (row pad
-    included in the last block of each MCU row) sits word-aligned at the
-    word offset cumsum(ceil(len/32)); the host joins them bit-level with
-    native.join_blocks.  If the actual stream exceeds the word budget the
-    tail is dropped on device — callers must check via
-    `total_words(block_len_bits) <= out_words.size` (fetch_blocks raises
-    PackOverflowError)."""
+
+def _block_buffers(coeff_planes, layout: ScanLayout):
+    """Stages 1-2 of the v2 packer: per-block word buffers.
+
+    Returns (bb (n_blocks, _BLOCK_CAP_WORDS) u32 MSB-aligned block
+    bitstreams, blen (n_blocks,) i32 bit lengths).  Row byte-align pad is
+    folded into each MCU row's last block."""
     n_rows, bpr = layout.mcus_h, layout.bpr
     n_blocks = n_rows * bpr
-    if budget_words_per_block is None:
-        # small scans get the full worst-case cap (overflow impossible,
-        # <=7 MB scratch); big scans get a lean budget with host fallback
-        budget_words_per_block = _BLOCK_CAP_WORDS if n_blocks <= 32768 else 16
     pays, lens = _slot_symbols(coeff_planes, layout)   # (n_rows, bpr, 65)
 
     # per-row byte-align pad (1-bits, T.81 F.1.2.3) appended to the row's
@@ -513,9 +509,17 @@ def pack_scan_device_v2(coeff_planes, layout: ScanLayout,
         tgt = gw[:, g:g + 1]
         for d in range(8):
             bb = bb | jnp.where(jidx == tgt + d, placed[d][:, g:g + 1], 0)
+    return bb, blen
 
-    # word-aligned compaction via the word->block inverse map
-    w_out = n_blocks * budget_words_per_block
+
+def _compact_blocks(bb, blen, w_out: int):
+    """Stage 3: word-aligned compaction via the word->block inverse map.
+
+    Works on any block set — including several scans' (or several images')
+    blocks concatenated along axis 0, which compacts every stream into ONE
+    contiguous buffer so the host downloads one prefix (the link pays a
+    ~40 ms fixed latency per transfer)."""
+    n_blocks = bb.shape[0]
     wlen = (blen + 31) >> 5                                     # >=1 always
     dest = jnp.cumsum(wlen) - wlen
     mark = jnp.zeros((w_out,), jnp.int32).at[dest].max(
@@ -525,8 +529,45 @@ def pack_scan_device_v2(coeff_planes, layout: ScanLayout,
     src = jnp.arange(w_out, dtype=jnp.int32) - jnp.take(dest, blk)
     flat_idx = blk * _BLOCK_CAP_WORDS + jnp.clip(src, 0,
                                                  _BLOCK_CAP_WORDS - 1)
-    out_words = jnp.take(bb.reshape(-1), flat_idx)
+    return jnp.take(bb.reshape(-1), flat_idx)
+
+
+def pack_scan_device_v2(coeff_planes, layout: ScanLayout,
+                        budget_words_per_block: int | None = None):
+    """Pack an interleaved baseline scan on device, scatter-free.
+
+    Returns (out_words (n_blocks * budget_words_per_block,) uint32,
+    block_len_bits (n_blocks,) uint16).  Each block's bitstream (row pad
+    included in the last block of each MCU row) sits word-aligned at the
+    word offset cumsum(ceil(len/32)); the host joins them bit-level with
+    native.join_blocks.  If the actual stream exceeds the word budget the
+    tail is dropped on device — callers must check via
+    `total_words(block_len_bits) <= out_words.size` (fetch_blocks raises
+    PackOverflowError)."""
+    n_blocks = layout.mcus_h * layout.bpr
+    if budget_words_per_block is None:
+        budget_words_per_block = _default_budget(n_blocks)
+    bb, blen = _block_buffers(coeff_planes, layout)
+    out_words = _compact_blocks(bb, blen, n_blocks * budget_words_per_block)
     return out_words, blen.astype(jnp.uint16)
+
+
+def compact_scans(scans):
+    """Compact SEVERAL scans' block buffers with one shared inverse map:
+    the output holds [scan0 stream][scan1 stream]... contiguously, so all
+    streams download as one d2h prefix of total_words_v2(concat(blens))
+    words.
+
+    scans: list of (bb, blen) from _block_buffers — possibly spanning
+    several images (batched encode).  Returns (out_words, [blen u16 per
+    scan]); the host splits the downloaded prefix at each scan's
+    total_words_v2(blen)."""
+    bbs = [bb for bb, _ in scans]
+    blens = [bl for _, bl in scans]
+    w_out = sum(bb.shape[0] * _default_budget(bb.shape[0]) for bb in bbs)
+    out_words = _compact_blocks(jnp.concatenate(bbs, axis=0),
+                                jnp.concatenate(blens), w_out)
+    return out_words, [b.astype(jnp.uint16) for b in blens]
 
 
 def total_words_v2(block_len_bits: np.ndarray) -> int:

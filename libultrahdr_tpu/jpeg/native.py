@@ -54,6 +54,11 @@ def get_lib():
             lib.uhdr_pack_p010_10bit.restype = None
             lib.uhdr_pack_p010_10bit.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.uhdr_pack_delta7.restype = ctypes.c_int64
+            lib.uhdr_pack_delta7.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64]
             lib.uhdr_stuff_scan.restype = ctypes.c_int64
             lib.uhdr_stuff_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
@@ -200,6 +205,42 @@ def pack_p010_10bit(arr: np.ndarray) -> np.ndarray:
     out = np.empty((flat.size // 16) * 10, np.uint16)
     lib.uhdr_pack_p010_10bit(flat.ctypes.data, flat.size, out.ctypes.data)
     return out
+
+
+DELTA7_ESC_CAP = 65536
+
+
+def pack_delta7_into(plane: np.ndarray, uv_interleaved: bool,
+                     words: np.ndarray, esc_idx: np.ndarray,
+                     esc_val: np.ndarray) -> bool:
+    """Delta + 7-bit bit-sliced wire packing of a P010 plane (the upload
+    codec; see uhdr_pack_delta7 in jpeg_entropy.cpp), written into
+    caller-provided buffers (typically views into one coalesced wire
+    buffer, fused.pack_delta7_wire).  False when the escape list
+    overflows (caller uses the dense 10-bit pack instead)."""
+    lib = get_lib()
+    p = np.ascontiguousarray(plane, np.uint16)
+    rows, cols = p.shape
+    esc_idx[:] = np.int32(1 << 30)      # pad target: dropped by the scatter
+    esc_val[:] = 0
+    n_esc = lib.uhdr_pack_delta7(p.ctypes.data, rows, cols,
+                                 int(bool(uv_interleaved)),
+                                 words.ctypes.data, esc_idx.ctypes.data,
+                                 esc_val.ctypes.data, DELTA7_ESC_CAP)
+    return n_esc >= 0
+
+
+def pack_delta7(plane: np.ndarray, uv_interleaved: bool):
+    """Standalone variant of pack_delta7_into: returns (words (n32,7) u32,
+    esc_idx (CAP,) i32, esc_val (CAP,) i16) or None on escape overflow."""
+    rows, cols = plane.shape
+    n32 = -(-(rows * cols) // 32)
+    words = np.empty((n32, 7), np.uint32)
+    esc_idx = np.empty(DELTA7_ESC_CAP, np.int32)
+    esc_val = np.empty(DELTA7_ESC_CAP, np.int16)
+    if not pack_delta7_into(plane, uv_interleaved, words, esc_idx, esc_val):
+        return None
+    return words, esc_idx, esc_val
 
 
 def stuff_scan(row_bytes: np.ndarray, row_offsets: np.ndarray) -> bytes:

@@ -139,13 +139,13 @@ def test_sharded_jpeg_pack_bit_identical():
             cg=ColorGamut.BT2100, ct=ColorTransfer.HLG,
             rng=ColorRange.FULL, scale=scale, multichannel=False,
             gamma=1.0, quality=95, map_quality=95, use_base_cg=False)
-        base_ref = fused.fetch_blocks(
-            out[0], np.asarray(out[1]),
-            fused._layout_for(h, w, fused._SAMPLING_420).bpr)
-        gm_ref = fused.fetch_blocks(
-            out[2], np.asarray(out[3]),
-            fused._layout_for(h // scale, w // scale,
-                              fused._SAMPLING_400).bpr)
+        bl = fused._layout_for(h, w, fused._SAMPLING_420)
+        gl = fused._layout_for(h // scale, w // scale, fused._SAMPLING_400)
+        blen_all = np.asarray(out[1])
+        n_base = bl.mcus_h * bl.bpr
+        base_ref, gm_ref = fused.fetch_blocks_multi(
+            out[0], [(blen_all[:n_base], bl.bpr),
+                     (blen_all[n_base:], gl.bpr)])
 
         n_sp = mesh.shape["spatial"]
         base_scan = assemble_sharded_scan(
@@ -178,6 +178,44 @@ def test_sharded_jpeg_pack_bit_identical():
         mse = float(np.mean((planes[0] - planes[1]).astype(np.float64) ** 2))
         psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
         assert psnr >= 60.0, f"gain map PSNR {psnr:.1f} dB < 60"
+
+
+def test_sharded_jpeg_pack_realistic_shape():
+    """Same bit-equality contract at a realistic shape (1024x512, the
+    scale of a real tile rather than a toy grid): one image, 8-way spatial
+    sharding, full DCT + entropy pack per shard."""
+    import jax.numpy as jnp
+    from libultrahdr_tpu import fused
+    from libultrahdr_tpu.parallel.batch import (assemble_sharded_scan,
+                                                sharded_encode_jpeg_step)
+
+    b, h, w, scale = 1, 512, 1024, 4
+    rs = np.random.RandomState(7)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    lum = 460 + 300 * np.sin(xx / 113.0) * np.cos(yy / 87.0) \
+        + rs.rand(h, w) * 40
+    y = (np.clip(lum, 0, 1023).astype(np.uint16) << 6)[None]
+    uv = (rs.randint(300, 700, (b, h // 2, w)).astype(np.uint16) << 6)
+    mesh = parallel.make_mesh(1, 8)
+    step = sharded_encode_jpeg_step(mesh, scale=scale, multichannel=False)
+    bw_s, boff_s, _, _ = jax.block_until_ready(step(y, uv))
+
+    out = fused._fused_api0_p010(
+        jnp.asarray(y[0]), jnp.asarray(uv[0]),
+        cg=ColorGamut.BT2100, ct=ColorTransfer.HLG, rng=ColorRange.FULL,
+        scale=scale, multichannel=False, gamma=1.0, quality=95,
+        map_quality=95, use_base_cg=False)
+    bl = fused._layout_for(h, w, fused._SAMPLING_420)
+    gl = fused._layout_for(h // scale, w // scale, fused._SAMPLING_400)
+    blen_all = np.asarray(out[1])
+    n_base = bl.mcus_h * bl.bpr
+    base_ref, _ = fused.fetch_blocks_multi(
+        out[0], [(blen_all[:n_base], bl.bpr), (blen_all[n_base:], gl.bpr)])
+
+    base_scan = assemble_sharded_scan(
+        np.asarray(bw_s[0]),
+        np.asarray(boff_s[0]).reshape(mesh.shape["spatial"], -1))
+    assert base_scan == base_ref
 
 
 def test_row_shard_constraint():

@@ -1,0 +1,96 @@
+"""Upload wire codec (delta7 bit-sliced pack, jpeg_entropy.cpp
+uhdr_pack_delta7 + fused._delta7_decode_plane): losslessness, escape
+handling, overflow fallback, and end-to-end byte equality of the fused
+encode whichever wire path carried the input."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libultrahdr_tpu import fused
+from libultrahdr_tpu.jpeg import native
+from libultrahdr_tpu.jpegr import JpegR
+from libultrahdr_tpu.types import (ColorGamut, ColorRange, ColorTransfer,
+                                   EncPreset, ImgFmt, RawImage)
+
+W, H = 256, 128
+
+
+def _smooth_plane(h, w, seed=0, edges=True):
+    rs = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    v = 400 + 250 * np.sin(xx / 37.0) + 150 * np.cos(yy / 23.0)
+    v += rs.rand(h, w) * 24            # mild noise: deltas stay in 7 bits
+    if edges:                          # sharp steps: a few escapes
+        v[:, w // 3:] += 400
+        v[h // 2:, :] -= 300
+    return (np.clip(v, 0, 1023).astype(np.uint16) << 6)
+
+
+def _roundtrip(plane, uv):
+    packed = native.pack_delta7(plane, uv)
+    assert packed is not None
+    words, ei, ev = packed
+    out = fused._delta7_decode_plane(
+        jnp.asarray(words), jnp.asarray(ei), jnp.asarray(ev),
+        plane.shape[0], plane.shape[1], uv)
+    np.testing.assert_array_equal(np.asarray(out), plane & np.uint16(0xFFC0))
+
+
+def test_delta7_roundtrip_luma():
+    _roundtrip(_smooth_plane(H, W), False)
+
+
+def test_delta7_roundtrip_uv_interleaved():
+    # U and V carry different gradients; stride-2 deltas must not mix them
+    u = _smooth_plane(H // 2, W // 2, seed=1, edges=False)
+    v = _smooth_plane(H // 2, W // 2, seed=2)
+    uv = np.empty((H // 2, W), np.uint16)
+    uv[:, 0::2] = u
+    uv[:, 1::2] = v
+    _roundtrip(uv, True)
+
+
+def test_delta7_roundtrip_unaligned_tail():
+    # h*w not a multiple of 32 exercises the padded tail group
+    _roundtrip(_smooth_plane(31, 50), False)
+
+
+def test_delta7_overflow_returns_none():
+    rs = np.random.RandomState(3)
+    # big enough that ~88% escape rate exceeds the 64K escape cap
+    noise = (rs.randint(0, 1024, (512, 256)).astype(np.uint16) << 6)
+    assert native.pack_delta7(noise, False) is None
+
+
+def test_batched_pipeline_matches_single(monkeypatch):
+    """The K-batched program (one shared compaction across images) must
+    produce byte-identical JPEG_R files to per-image fused encodes."""
+    monkeypatch.setenv("UHDR_TPU_BATCH_K", "4")
+    imgs = []
+    for i in range(5):  # 5 = one batch of 4 + a single-image tail job
+        y = _smooth_plane(H, W, seed=10 + i)
+        uv = _smooth_plane(H // 2, W, seed=20 + i, edges=False)
+        imgs.append(RawImage(ImgFmt.P010, ColorGamut.BT2100,
+                             ColorTransfer.HLG, ColorRange.FULL, W, H,
+                             [y, uv]))
+    jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
+               preset=EncPreset.REALTIME)
+    batched = fused.encode_api0_p010_pipelined(jr, imgs, quality=92)
+    singles = [jr.encode_api0(im, quality=92) for im in imgs]
+    assert batched == singles
+
+
+def test_fused_encode_identical_across_wire_paths(monkeypatch):
+    """The wire codec must be invisible: fused API-0 bytes are identical
+    whether the input travelled delta7-packed or dense-10-bit-packed."""
+    y = _smooth_plane(H, W)
+    uv = _smooth_plane(H // 2, W, seed=4, edges=False)
+    img = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, W, H, [y, uv])
+    jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
+               preset=EncPreset.REALTIME)
+    via_delta = jr.encode_api0(img, quality=92)
+    monkeypatch.setattr(fused, "pack_delta7_wire", lambda *a, **k: None)
+    via_dense = jr.encode_api0(img, quality=92)
+    assert via_delta == via_dense
