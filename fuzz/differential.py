@@ -28,7 +28,14 @@ import sys
 HERE = pathlib.Path(__file__).resolve().parent
 REPO = HERE.parent
 sys.path.insert(0, str(REPO))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# sitecustomize may pre-register the TPU plugin and pin the axon
+# backend; force CPU through jax.config too (same mechanism as
+# tests/conftest.py) so fuzzing never touches — or hangs on — the
+# real device/tunnel
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 

@@ -27,6 +27,9 @@ def test_capi_roundtrip():
         pytest.skip("no embeddable libpython")
     env = dict(os.environ)
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    # hermetic: the embedded interpreter must not grab the real TPU
+    # (conftest pins pytest itself to CPU the same way)
+    env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run([sys.executable, "-m", "capi.build", "--test"],
                        cwd=REPO, env=env, capture_output=True, text=True,
                        timeout=600)
