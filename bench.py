@@ -78,6 +78,19 @@ def main():
     jr = JpegR(map_dimension_scale_factor=4, use_multi_channel_gainmap=False,
                preset=0)
 
+    # link-speed diagnostic: the tunnel swings ~25-60 MB/s run to run and
+    # bounds the upload-limited encode; record it so the headline is
+    # interpretable (h2d of an 8 MB incompressible buffer, best of 3)
+    import jax
+    rs = np.random.RandomState(0)
+    probe = rs.randint(0, 2 ** 32, size=2 * 1024 * 1024, dtype=np.uint32)
+    h2d = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        dev = jax.device_put(probe)
+        np.asarray(dev[:1])
+        h2d = max(h2d, probe.nbytes / (time.perf_counter() - t0) / 1e6)
+
     # warmup: compile the fused program + fetch-slice buckets
     outs = encode_api0_p010_pipelined(jr, imgs[:2], quality=95)
 
@@ -128,7 +141,7 @@ def main():
             "decode_device_vs_baseline": round(
                 dec_dev_mpps / REF_DECODE_4K_MPPS, 3),
             "encode_reps": ENC_REPS, "decode_reps": DEC_REPS,
-            "stat": "median",
+            "stat": "median", "link_h2d_mbps": round(h2d, 1),
         },
     }))
 

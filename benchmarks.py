@@ -2,54 +2,128 @@
 (/root/reference/benchmark/benchmark_test.cpp):
 
 - decode set (:55-60,481-494): JPEG_R -> {HLG/1010102, PQ/1010102,
-  LINEAR/F16, SRGB/8888} on single- and multi-channel gain maps
-- encode API-0 set (:62-66,495-502): 12 MP p010, BT2100, {single,multi}
-  channel x gamma {1.0, 1.571}
-- encode API-1 set (:68-72,503-524): + yuv420 SDR, realtime & best presets
+  LINEAR/F16, SRGB/8888} on single- and multi-channel gain maps, through
+  all three engines (device+download, device-resident, native host CPU)
+- encode API-0 set (:62-66,495-502): 12 MP {p010, rgba1010102, rgbaf16},
+  BT2100, {single,multi} channel x gamma {1.0, 1.571}
+- encode API-1 set (:68-72,503-524): + {yuv420, rgba8888} SDR, realtime &
+  best-quality presets
 
-Reports wall-ms per op (best of N) and MP/s, like the reference's
+Content: the reference benchmarks run on photographs
+(UltrahdrBenchmarkTestRes, benchmark_test.cpp:55-72); natural-image entropy
+drives scan length and therefore the host-link transfer.  This harness
+mosaics the reference's own 1280x720 photographic P010 test fixture
+(tests/data/raw_p010_image.p010, mirrored tiles to keep block statistics
+and avoid seam discontinuities) up to the target resolution, falling back
+to a synthetic scene when the fixture is absent.
+
+Reports wall-ms per op (median of N) and MP/s, like the reference's
 Unit(kMillisecond) counters.  Run: python benchmarks.py [--quick]
 """
 
 from __future__ import annotations
 
 import argparse
+import pathlib
+import statistics
 import sys
 import time
 
 import numpy as np
 
-from bench import make_scene
 from libultrahdr_tpu.jpegr import JpegR
 from libultrahdr_tpu.types import (ColorGamut, ColorRange, ColorTransfer,
                                    EncPreset, ImgFmt, RawImage)
 
+_FIXTURE = pathlib.Path("/root/reference/tests/data/raw_p010_image.p010")
+_FW, _FH = 1280, 720
 
-def _best(f, reps):
-    best = float("inf")
+
+def _median(f, reps):
+    ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         f()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        ts.append(time.perf_counter() - t0)
+    return statistics.median(ts)
 
 
-def _p010(w, h):
-    yp, uvp = make_scene(w, h)
+def _mosaic(plane: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Tile a plane to (th, tw) with alternate mirroring (no seams)."""
+    h, w = plane.shape
+    ny, nx = -(-th // h), -(-tw // w)
+    rows = []
+    for iy in range(ny):
+        cells = []
+        for ix in range(nx):
+            t = plane
+            if ix % 2:
+                t = t[:, ::-1]
+            if iy % 2:
+                t = t[::-1, :]
+            cells.append(t)
+        rows.append(np.concatenate(cells, axis=1))
+    return np.concatenate(rows, axis=0)[:th, :tw]
+
+
+def natural_p010(w: int, h: int) -> RawImage:
+    """Photographic P010 content at (w, h) from the reference fixture."""
+    if not _FIXTURE.exists():
+        from bench import make_scene
+        yp, uvp = make_scene(w, h)
+        return RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                        ColorRange.FULL, w, h, [yp, uvp])
+    raw = np.fromfile(_FIXTURE, np.uint16)
+    y = raw[:_FW * _FH].reshape(_FH, _FW)
+    uv = raw[_FW * _FH:_FW * _FH + _FW * (_FH // 2)].reshape(_FH // 2, _FW)
+    ym = _mosaic(y, h, w)
+    # mirror UV pairwise so U/V stay in their interleaved lanes
+    u = _mosaic(uv[:, 0::2], h // 2, w // 2)
+    v = _mosaic(uv[:, 1::2], h // 2, w // 2)
+    uvm = np.empty((h // 2, w), np.uint16)
+    uvm[:, 0::2] = u
+    uvm[:, 1::2] = v
     return RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
-                    ColorRange.FULL, w, h, [yp, uvp])
+                    ColorRange.FULL, w, h,
+                    [np.ascontiguousarray(ym), np.ascontiguousarray(uvm)])
 
 
-def _yuv420_from(img):
-    jr = JpegR()
-    return jr.tone_map(img)
+def _p010_to_rgba1010102(img: RawImage) -> RawImage:
+    """Repack P010 YCbCr as RGBA1010102 carrying the same pixel entropy
+    (benchmarks need matched content across input formats, not a color
+    conversion; the reference's corpus ships per-format files)."""
+    y = (img.planes[0] >> 6).astype(np.uint32)
+    uv = (img.planes[1] >> 6).astype(np.uint32)
+    u = np.repeat(np.repeat(uv[:, 0::2], 2, axis=0), 2, axis=1)[:img.h, :img.w]
+    v = np.repeat(np.repeat(uv[:, 1::2], 2, axis=0), 2, axis=1)[:img.h, :img.w]
+    packed = y | (u << 10) | (v << 20) | np.uint32(0x3 << 30)
+    return RawImage(ImgFmt.RGBA1010102, ColorGamut.BT2100, ColorTransfer.HLG,
+                    ColorRange.FULL, img.w, img.h,
+                    [np.ascontiguousarray(packed)])
+
+
+def _p010_to_rgbaf16(img: RawImage) -> RawImage:
+    y = ((img.planes[0] >> 6).astype(np.float32) / 1023.0)
+    uv = img.planes[1]
+    comp = np.empty((img.h, img.w, 4), np.float16)
+    comp[..., 0] = y.astype(np.float16)
+    u = np.repeat(np.repeat(uv[:, 0::2], 2, 0), 2, 1)[:img.h, :img.w]
+    v = np.repeat(np.repeat(uv[:, 1::2], 2, 0), 2, 1)[:img.h, :img.w]
+    comp[..., 1] = ((u >> 6).astype(np.float32) / 1023.0).astype(np.float16)
+    comp[..., 2] = ((v >> 6).astype(np.float32) / 1023.0).astype(np.float16)
+    comp[..., 3] = np.float16(1.0)
+    return RawImage(ImgFmt.RGBAF16, ColorGamut.BT2100, ColorTransfer.LINEAR,
+                    ColorRange.FULL, img.w, img.h,
+                    [np.ascontiguousarray(comp)])
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
-                    help="720p, 1 reps (smoke test)")
-    ap.add_argument("--reps", type=int, default=3)
+                    help="720p, 1 rep (smoke test)")
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--section", choices=["enc0", "enc1", "dec", "all"],
+                    default="all")
     args = ap.parse_args(argv)
 
     if args.quick:
@@ -57,47 +131,73 @@ def main(argv=None):
     else:
         w, h, reps = 4080, 3072, args.reps  # reference's 12 MP config
     mp = w * h / 1e6
-    hdr = _p010(w, h)
+    hdr = natural_p010(w, h)
     rows = []
 
+    def run(name, f):
+        f()  # warm/compile
+        dt = _median(f, reps)
+        rows.append((name, dt, mp / dt))
+        print(f"  {name}: {dt * 1e3:.1f} ms  {mp / dt:.2f} MP/s",
+              flush=True)
+
     # ---- encode API-0 matrix ------------------------------------------
-    for multi in (False, True):
-        for gamma in (1.0, 1.571):
-            jr = JpegR(map_dimension_scale_factor=4,
-                       use_multi_channel_gainmap=multi, gamma=gamma,
-                       preset=EncPreset.REALTIME)
-            jr.encode_api0(hdr, quality=95)  # warm
-            dt = _best(lambda: jr.encode_api0(hdr, quality=95), reps)
-            rows.append((f"enc api0 p010 {'multi' if multi else 'single'} "
-                         f"g={gamma}", dt, mp / dt))
+    if args.section in ("enc0", "all"):
+        for multi in (False, True):
+            for gamma in (1.0, 1.571):
+                jr = JpegR(map_dimension_scale_factor=4,
+                           use_multi_channel_gainmap=multi, gamma=gamma,
+                           preset=EncPreset.REALTIME)
+                tag = "multi" if multi else "single"
+                run(f"enc api0 p010 {tag} g={gamma}",
+                    lambda jr=jr: jr.encode_api0(hdr, quality=95))
+        jr = JpegR(map_dimension_scale_factor=4,
+                   use_multi_channel_gainmap=False,
+                   preset=EncPreset.REALTIME)
+        rgba10 = _p010_to_rgba1010102(hdr)
+        run("enc api0 rgba1010102 single g=1.0",
+            lambda: jr.encode_api0(rgba10, quality=95))
+        rgbaf16 = _p010_to_rgbaf16(hdr)
+        run("enc api0 rgbaf16 single g=1.0",
+            lambda: jr.encode_api0(rgbaf16, quality=95))
 
     # ---- encode API-1 matrix ------------------------------------------
-    sdr = _yuv420_from(hdr)
-    for preset in (EncPreset.REALTIME, EncPreset.BEST_QUALITY):
-        jr = JpegR(map_dimension_scale_factor=4, preset=preset)
-        jr.encode_api1(hdr, sdr, quality=95)
-        dt = _best(lambda: jr.encode_api1(hdr, sdr, quality=95), reps)
-        rows.append((f"enc api1 p010+yuv420 {preset.name.lower()}", dt,
-                     mp / dt))
+    if args.section in ("enc1", "all"):
+        sdr420 = JpegR().tone_map(hdr)
+        for preset in (EncPreset.REALTIME, EncPreset.BEST_QUALITY):
+            jr = JpegR(map_dimension_scale_factor=4, preset=preset)
+            run(f"enc api1 p010+yuv420 {preset.name.lower()}",
+                lambda jr=jr: jr.encode_api1(hdr, sdr420, quality=95))
 
     # ---- decode matrix -------------------------------------------------
-    for multi in (False, True):
-        jr = JpegR(map_dimension_scale_factor=4,
-                   use_multi_channel_gainmap=multi)
-        data = jr.encode_api0(hdr, quality=95)
-        tag = "multi" if multi else "single"
-        for ct, fmt in [(ColorTransfer.HLG, ImgFmt.RGBA1010102),
-                        (ColorTransfer.PQ, ImgFmt.RGBA1010102),
-                        (ColorTransfer.LINEAR, ImgFmt.RGBAF16),
-                        (ColorTransfer.SRGB, ImgFmt.RGBA8888)]:
-            d = JpegR()
-            d.decode(data, output_ct=ct, output_fmt=fmt)  # warm
-            dt = _best(lambda: d.decode(data, output_ct=ct,
-                                        output_fmt=fmt), reps)
-            rows.append((f"dec {tag} -> {ct.name.lower()}", dt, mp / dt))
+    if args.section in ("dec", "all"):
+        for multi in (False, True):
+            jr = JpegR(map_dimension_scale_factor=4,
+                       use_multi_channel_gainmap=multi)
+            data = jr.encode_api0(hdr, quality=95)
+            tag = "multi" if multi else "single"
+            for ct, fmt in [(ColorTransfer.HLG, ImgFmt.RGBA1010102),
+                            (ColorTransfer.PQ, ImgFmt.RGBA1010102),
+                            (ColorTransfer.LINEAR, ImgFmt.RGBAF16),
+                            (ColorTransfer.SRGB, ImgFmt.RGBA8888)]:
+                d = JpegR()
+                run(f"dec {tag} -> {ct.name.lower()} (device)",
+                    lambda d=d, data=data, ct=ct, fmt=fmt: d.decode(
+                        data, output_ct=ct, output_fmt=fmt))
+                if ct != ColorTransfer.SRGB:
+                    run(f"dec {tag} -> {ct.name.lower()} (host)",
+                        lambda d=d, data=data, ct=ct: d.decode_host(
+                            data, output_ct=ct))
+
+                    def dev_resident(d=d, data=data, ct=ct):
+                        arr, _ = d.decode_to_device(data, output_ct=ct)
+                        np.asarray(arr[:1, :4])  # force completion, tiny d2h
+
+                    run(f"dec {tag} -> {ct.name.lower()} (device-resident)",
+                        dev_resident)
 
     width = max(len(r[0]) for r in rows)
-    print(f"{'config':<{width}}  {'ms':>9}  {'MP/s':>8}")
+    print(f"\n{'config':<{width}}  {'ms':>9}  {'MP/s':>8}")
     for name, dt, mpps in rows:
         print(f"{name:<{width}}  {dt * 1e3:9.1f}  {mpps:8.2f}")
     return 0

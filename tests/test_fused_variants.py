@@ -99,6 +99,20 @@ def test_api1_fused_matches_general(sdr_fn, preset):
     _compare(fused, general)
 
 
+@pytest.mark.parametrize("hdr_fn", [_rgba1010102, _rgbaf16])
+@pytest.mark.parametrize("preset", [EncPreset.REALTIME,
+                                    EncPreset.BEST_QUALITY])
+def test_api1_fused_rgb_hdr_matches_general(hdr_fn, preset):
+    """API-1 with packed-RGB HDR inputs (the remaining reference benchmark
+    configs, benchmark_test.cpp:68-72: rgba1010102 / rgba16F HDR)."""
+    hdr, sdr = hdr_fn(), _yuv420()
+    jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=True,
+               preset=preset)
+    fused = jr.encode_api1(hdr, sdr, quality=92)
+    general = jr.encode_api1(hdr, sdr, quality=92, use_fused=False)
+    _compare(fused, general)
+
+
 def test_api1_fused_boost_suggestions():
     hdr, sdr = _p010(), _yuv420()
     jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
