@@ -124,12 +124,19 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--section", choices=["enc0", "enc1", "dec", "all"],
                     default="all")
+    ap.add_argument("--size", default=None, metavar="WxH",
+                    help="override resolution (default 4080x3072, the "
+                         "reference's 12 MP benchmark config; NB each new "
+                         "shape/config pays a long first compile through "
+                         "the remote-compile attachment, cached after)")
     args = ap.parse_args(argv)
 
     if args.quick:
         w, h, reps = 1280, 720, 1
     else:
         w, h, reps = 4080, 3072, args.reps  # reference's 12 MP config
+    if args.size:
+        w, h = (int(x) for x in args.size.lower().split("x"))
     mp = w * h / 1e6
     hdr = natural_p010(w, h)
     rows = []
