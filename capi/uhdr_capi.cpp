@@ -18,6 +18,7 @@
 #include <Python.h>
 
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <vector>
 
@@ -37,17 +38,33 @@ struct Handle {
 };
 
 PyObject* g_bridge = nullptr;
+std::once_flag g_init_once;
 
-bool ensure_python() {
+// Initialize the embedded interpreter exactly once, import the bridge, and
+// RELEASE the GIL before returning: the initializing thread would otherwise
+// hold it forever while running C code, deadlocking every PyGILState_Ensure
+// from other threads.  After this, all entry points acquire/release the GIL
+// per call via PyGILState_Ensure, so the shim is usable from any thread —
+// same contract as the reference C API.
+void init_python_once() {
+  bool we_initialized = false;
   if (!Py_IsInitialized()) {
     Py_InitializeEx(0);
+    we_initialized = true;
   }
-  if (!g_bridge) {
-    PyGILState_STATE st = PyGILState_Ensure();
-    g_bridge = PyImport_ImportModule("libultrahdr_tpu.capi_bridge");
-    if (!g_bridge) PyErr_Print();
-    PyGILState_Release(st);
+  PyGILState_STATE st = PyGILState_Ensure();
+  g_bridge = PyImport_ImportModule("libultrahdr_tpu.capi_bridge");
+  if (!g_bridge) PyErr_Print();
+  PyGILState_Release(st);
+  if (we_initialized) {
+    // Py_InitializeEx leaves the calling thread holding the GIL (its
+    // PyGILState_Ensure above was a no-op recursion); hand it back.
+    (void)PyEval_SaveThread();
   }
+}
+
+bool ensure_python() {
+  std::call_once(g_init_once, init_python_once);
   return g_bridge != nullptr;
 }
 
@@ -189,14 +206,18 @@ int fetch_image(Handle* h, const char* bridge_fn, uhdr_raw_image_t* img,
       img->planes[i] = nullptr;
       img->stride[i] = 0;
     }
+    got = 1;
     for (Py_ssize_t i = 0; i < n && i < 3; i++) {
       PyObject* b = PyTuple_GetItem(pl, i);
+      PyObject* s = PyTuple_GetItem(sl, i);
+      if (!b || !PyBytes_Check(b) || !s || !PyLong_Check(s)) {
+        got = 0;
+        break;
+      }
       (*planes)[i].assign(PyBytes_AsString(b), PyBytes_Size(b));
       img->planes[i] = (*planes)[i].data();
-      img->stride[i] = static_cast<unsigned>(
-          PyLong_AsLong(PyTuple_GetItem(sl, i)));
+      img->stride[i] = static_cast<unsigned>(PyLong_AsLong(s));
     }
-    got = 1;
   } else if (!r) {
     PyErr_Clear();
   }

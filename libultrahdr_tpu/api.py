@@ -88,8 +88,11 @@ class _Context:
                 "reset to reuse")
 
     def enable_gpu_acceleration(self, enable: bool):
-        """uhdr_enable_gpu_acceleration (ultrahdr_api.h:242).  The TPU is
-        this library's only pixel path, so this is an accepted no-op."""
+        """uhdr_enable_gpu_acceleration (ultrahdr_api.h:242).  Enabled
+        (default) selects the fused accelerated programs, like the
+        reference's GLES path; 0 forces the general host pixel path
+        (decode passes use_fused=False), matching the contract documented
+        in capi/ultrahdr_tpu.h."""
         self._check_not_sailed()
         self._gpu = bool(enable)
 
@@ -389,7 +392,8 @@ class UhdrEncoder(_Context):
                 "resources required for encoding are not set")
         if not has_sdr_raw and not has_sdr_comp:
             self._apply_encoder_effects()
-            return jr.encode_api0(self._raw[ImgLabel.HDR], base_q, self._exif)
+            return jr.encode_api0(self._raw[ImgLabel.HDR], base_q, self._exif,
+                                  use_fused=self._gpu)
         if has_sdr_comp and not has_sdr_raw:
             if self._effects:
                 raise invalid_operation(
@@ -399,7 +403,8 @@ class UhdrEncoder(_Context):
         if has_sdr_raw and not has_sdr_comp:
             self._apply_encoder_effects()
             return jr.encode_api1(self._raw[ImgLabel.HDR],
-                                  self._raw[ImgLabel.SDR], base_q, self._exif)
+                                  self._raw[ImgLabel.SDR], base_q, self._exif,
+                                  use_fused=self._gpu)
         if self._effects:
             raise invalid_operation(
                 "effects are not supported with compressed intents")
@@ -564,7 +569,8 @@ class UhdrDecoder(_Context):
         jr = JpegR()
         dest, metadata, gm_img = jr.decode(
             self._data, output_ct=ct, output_fmt=fmt,
-            max_display_boost=self._max_display_boost, return_gainmap=True)
+            max_display_boost=self._max_display_boost, return_gainmap=True,
+            use_fused=self._gpu)
         self._decoded = dest
         self._gainmap_img = gm_img
         if self._effects:

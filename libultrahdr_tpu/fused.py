@@ -671,19 +671,47 @@ def encode_api0_p010_pipelined(jr, imgs, quality: int = 95,
     # (>45 min for K=4); opt in with UHDR_TPU_BATCH_K when the compile
     # cache is warm or compiles are local.
     batch_k = max(1, int(os.environ.get("UHDR_TPU_BATCH_K", "1")))
+    # Each image's wire buffer is packed exactly once: a failing (non-delta7)
+    # image ends its chunk, and the next chunk reuses the cached buffers
+    # instead of re-running pack_delta7_wire per retry window.
+    wire_cache: dict[int, object] = {}
+
+    def get_wire(idx):
+        if idx not in wire_cache:
+            wire_cache[idx] = pack_delta7_wire(imgs[idx].planes[0],
+                                               imgs[idx].planes[1])
+        return wire_cache[idx]
+
+    def uniform(a, b):
+        return (a.w == b.w and a.h == b.h and a.cg == b.cg and a.ct == b.ct
+                and a.range == b.range)
+
     jobs = []          # (kind, images, handle)
     i = 0
     while i < len(imgs):
-        chunk = imgs[i:i + batch_k]
-        handle = _dispatch_api0_p010_batch(jr, chunk, quality) \
-            if len(chunk) > 1 else None
-        if handle is not None:
-            jobs.append(("batch", chunk, handle))
+        chunk, wires = [imgs[i]], [get_wire(i)]
+        if wires[0] is not None:
+            j = i + 1
+            while (j < len(imgs) and len(chunk) < batch_k
+                   and uniform(imgs[j], imgs[i])):
+                w = get_wire(j)
+                if w is None:
+                    break
+                chunk.append(imgs[j])
+                wires.append(w)
+                j += 1
+        if len(chunk) > 1:
+            jobs.append(("batch", chunk,
+                         _dispatch_api0_p010_batch(jr, chunk, quality,
+                                                   wires)))
             i += len(chunk)
         else:
             jobs.append(("single", [imgs[i]],
-                         _dispatch_api0_p010(jr, imgs[i], quality)))
+                         _dispatch_api0_p010(jr, imgs[i], quality,
+                                             wire=wires[0])))
             i += 1
+        for idx in [k_ for k_ in wire_cache if k_ < i]:
+            del wire_cache[idx]
 
     def drain(job):
         kind, chunk, h = job
@@ -702,7 +730,10 @@ def encode_api0_p010_pipelined(jr, imgs, quality: int = 95,
         return [b for chunk in ex.map(drain, jobs) for b in chunk]
 
 
-def _dispatch_api0_p010(jr, img, quality: int):
+_WIRE_UNSET = object()
+
+
+def _dispatch_api0_p010(jr, img, quality: int, wire=_WIRE_UNSET):
     cg, ct, rng = ColorGamut(img.cg), ColorTransfer(img.ct), ColorRange(img.range)
     scale = jr.map_dimension_scale_factor
     if scale <= 0 or img.w // scale == 0 or img.h // scale == 0:
@@ -720,7 +751,8 @@ def _dispatch_api0_p010(jr, img, quality: int):
     # fallback when the 7-bit delta escape list overflows
     # (non-photographic content).  The link does not compress transfers
     # dependably, so fewer raw bytes wins.
-    wire = pack_delta7_wire(img.planes[0], img.planes[1])
+    if wire is _WIRE_UNSET:
+        wire = pack_delta7_wire(img.planes[0], img.planes[1])
     if wire is not None:
         out = _fused_api0_p010_delta7(jnp.asarray(wire), **common)
     else:
@@ -991,19 +1023,10 @@ def _fused_api0_p010_delta7_batch(bufs, *, k: int, h: int, w: int,
     return words, blen.astype(jnp.uint16)
 
 
-def _dispatch_api0_p010_batch(jr, imgs, quality: int):
-    """Wire-pack + upload + dispatch a uniform batch; None when any image
-    can't take the delta7 wire path (caller dispatches singly)."""
+def _dispatch_api0_p010_batch(jr, imgs, quality: int, wires):
+    """Upload + dispatch a uniform batch of pre-packed delta7 wire buffers
+    (the caller guarantees uniformity and packs each wire exactly once)."""
     img0 = imgs[0]
-    if any(im.w != img0.w or im.h != img0.h or im.cg != img0.cg
-           or im.ct != img0.ct or im.range != img0.range for im in imgs):
-        return None
-    wires = []
-    for im in imgs:
-        wire = pack_delta7_wire(im.planes[0], im.planes[1])
-        if wire is None:
-            return None
-        wires.append(wire)
     cg, ct = ColorGamut(img0.cg), ColorTransfer(img0.ct)
     rng = ColorRange(img0.range)
     scale = _resolve_scale(jr, img0)

@@ -832,11 +832,14 @@ class JpegR:
         meta_arrays = apply_ops.metadata_to_arrays(metadata)
 
         if map_scale_factor != float(scale_k) or mw * scale_k != sdr.w:
-            # fractional path: pre-upsample with the float-factor IDW
-            gain_f = idw.idw_upsample_fractional(
+            # fractional path: pre-upsample with the float-factor IDW and
+            # keep the gains float end-to-end — the reference samples the
+            # map in float (sampleMap, gainmapmath.cpp:871-921) and never
+            # re-quantizes, so neither do we (apply_gainmap_core accepts
+            # float gains as-is).
+            gain_in = jnp.clip(idw.idw_upsample_fractional(
                 jnp.asarray(gain_u8).astype(jnp.float32) / 255.0,
-                map_scale_factor, sdr.h, sdr.w)
-            gain_in = _to_np(jnp.clip(jnp.round(gain_f * 255.0), 0, 255)).astype(np.uint8)
+                map_scale_factor, sdr.h, sdr.w), 0.0, 1.0)
             scale_for_kernel = 1
         else:
             gain_in = gain_u8

@@ -58,6 +58,16 @@ def apply_gain(rgb_sdr, gain, metadata_arrays, weight: float):
     return (rgb_sdr + off_sdr) * gain_factor - off_hdr
 
 
+def _gain_to_float(g):
+    """Gain samples to normalized f32: u8 maps /255; float dtypes pass
+    through (the fractional map-scale path pre-upsamples in float and must
+    not re-quantize, matching the reference's float sampleMap,
+    gainmapmath.cpp:871-921)."""
+    if jnp.issubdtype(g.dtype, jnp.floating):
+        return g.astype(jnp.float32)
+    return g.astype(jnp.float32) / 255.0
+
+
 @functools.partial(jax.jit, static_argnames=(
     "scale_k", "out_ct", "sdr_cg", "hdr_cg", "use_base_cg"))
 def apply_gainmap_core(sdr_yuv, gain_u8, metadata_arrays, *, scale_k: int,
@@ -92,7 +102,7 @@ def apply_gainmap_core(sdr_yuv, gain_u8, metadata_arrays, *, scale_k: int,
             jnp.asarray(metadata_arrays["offset_sdr"], jnp.float32),
             jnp.asarray(metadata_arrays["offset_hdr"], jnp.float32)])
         return pallas_apply.apply_gainmap_pallas(
-            sdr_yuv, g.astype(jnp.float32) / 255.0, rows,
+            sdr_yuv, _gain_to_float(g), rows,
             jnp.asarray(weight, jnp.float32), out_ct=out_ct_e,
             sdr_cg=sdr_cg, hdr_cg=hdr_cg, use_base_cg=use_base_cg)
     # JPEG-decoded base: always Rec.601 YUV coefficients (jpegr.cpp:1592)
@@ -104,7 +114,7 @@ def apply_gainmap_core(sdr_yuv, gain_u8, metadata_arrays, *, scale_k: int,
     if not use_base_cg:
         rgb_sdr = colors.convert_gamut(rgb_sdr, gamut_m)
 
-    gain_f = gain_u8.astype(jnp.float32) / 255.0
+    gain_f = _gain_to_float(gain_u8)
     if gain_halo_row is not None and scale_k > 1:
         gain = idw.idw_upsample_sharded(
             gain_f, gain_halo_row.astype(jnp.float32) / 255.0,
