@@ -38,17 +38,31 @@ def python_embed_flags() -> tuple[list[str], list[str]]:
     return [f"-I{inc}"], ld
 
 
+def _sanitize() -> bool:
+    # UHDR_CAPI_SANITIZE=1: ASan+UBSan builds of shim AND test exe (the
+    # exe links the asan runtime so the sanitized shim loads cleanly);
+    # tools/sanitize_replay.py drives this.
+    return os.environ.get("UHDR_CAPI_SANITIZE") == "1"
+
+
+_SAN_FLAGS = ["-O1", "-g", "-fsanitize=address,undefined",
+              "-fno-sanitize-recover=all"]
+
+
 def build_shim() -> pathlib.Path:
     src = _DIR / "uhdr_capi.cpp"
     hdr = _DIR / "ultrahdr_tpu.h"
     tag = hashlib.sha256(src.read_bytes() + hdr.read_bytes()).hexdigest()[:16]
-    so = _cache_dir() / f"libuhdr_tpu_{tag}.so"
+    name = f"libuhdr_tpu_{tag}_asan.so" if _sanitize() \
+        else f"libuhdr_tpu_{tag}.so"
+    so = _cache_dir() / name
     if so.exists():
         return so
     cflags, ldflags = python_embed_flags()
+    opt = _SAN_FLAGS if _sanitize() else ["-O2"]
     tmp = so.with_suffix(".so.tmp")
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", str(src),
+        ["g++", *opt, "-shared", "-fPIC", "-std=c++17", str(src),
          f"-I{_DIR}"] + cflags + ["-o", str(tmp)] + ldflags,
         check=True, capture_output=True)
     os.replace(tmp, so)
@@ -58,12 +72,14 @@ def build_shim() -> pathlib.Path:
 def build_test(shim: pathlib.Path) -> pathlib.Path:
     src = _DIR / "test_capi.c"
     tag = hashlib.sha256(src.read_bytes() + shim.name.encode()).hexdigest()[:16]
-    exe = _cache_dir() / f"test_capi_{tag}"
+    exe = _cache_dir() / (f"test_capi_{tag}_asan" if _sanitize()
+                          else f"test_capi_{tag}")
     if exe.exists():
         return exe
+    opt = _SAN_FLAGS if _sanitize() else ["-O1"]
     tmp = exe.with_suffix(".tmp")
     subprocess.run(
-        ["gcc", "-O1", str(src), f"-I{_DIR}", str(shim),
+        ["gcc", *opt, str(src), f"-I{_DIR}", str(shim),
          f"-Wl,-rpath,{shim.parent}", "-o", str(tmp)],
         check=True, capture_output=True)
     os.replace(tmp, exe)

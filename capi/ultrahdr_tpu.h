@@ -26,6 +26,21 @@
 #define UHDR_EXTERN extern
 #endif
 
+/* ---- version (mirrors ultrahdr_api.h:74-84; tracks the reference API
+   surface this build implements) ---- */
+
+#define UHDR_LIB_VER_MAJOR 1
+#define UHDR_LIB_VER_MINOR 4
+#define UHDR_LIB_VER_PATCH 0
+
+#define UHDR_LIB_VERSION \
+  ((UHDR_LIB_VER_MAJOR * 10000) + (UHDR_LIB_VER_MINOR * 100) + UHDR_LIB_VER_PATCH)
+
+#define UHDR_XSTR(s) UHDR_STR(s)
+#define UHDR_STR(s) #s
+#define UHDR_LIB_VERSION_STR \
+  UHDR_XSTR(UHDR_LIB_VER_MAJOR) "." UHDR_XSTR(UHDR_LIB_VER_MINOR) "." UHDR_XSTR(UHDR_LIB_VER_PATCH)
+
 /* ---- enums (values match ultrahdr_api.h:85-198) ---- */
 
 typedef enum uhdr_img_fmt {

@@ -529,18 +529,16 @@ def fetch_blocks_multi(words_dev, parts) -> list[bytes]:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "h", "w", "sampling_key", "gm_channels", "scale_k", "out_ct", "sdr_cg",
-    "hdr_cg", "use_base_cg"))
-def _fused_decode(base_coeffs, base_qts, gm_coeffs, gm_qts, meta_arrays,
-                  weight, *, h: int, w: int, sampling_key: str,
-                  gm_channels: int, scale_k: int, out_ct: ColorTransfer,
-                  sdr_cg: ColorGamut, hdr_cg: ColorGamut, use_base_cg: bool):
-    """Device half of decode as ONE program: dequant + IDCT of base and
-    gain map + apply-gainmap + output packing (the jpegr.cpp:1384-1699
-    pipeline with the entropy decode left on host).  Replaces three
-    separate per-plane IDCT programs + a separate apply program (and their
-    intermediate host round trips)."""
+def _decode_device_core(base_coeffs, base_qts, gm_coeffs, gm_qts,
+                        meta_arrays, weight, *, h: int, w: int,
+                        sampling_key: str, gm_channels: int, scale_k: int,
+                        out_ct: ColorTransfer, sdr_cg: ColorGamut,
+                        hdr_cg: ColorGamut, use_base_cg: bool,
+                        use_pallas: bool = True):
+    """Device half of decode: dequant + IDCT of base and gain map +
+    apply-gainmap + output packing (the jpegr.cpp:1384-1699 pipeline with
+    the entropy decode left on host).  Traced by both the single-image
+    _fused_decode program and the vmapped batch program."""
     from .jpeg.dct import inverse_plane
     from .jpeg.decoder import _ycc_to_rgb
     from .ops import pixel as pixel_ops
@@ -567,8 +565,23 @@ def _fused_decode(base_coeffs, base_qts, gm_coeffs, gm_qts, meta_arrays,
     packed = apply_ops.apply_gainmap_core(
         sdr_yuv, gm_u8, meta_arrays, scale_k=scale_k, weight=weight,
         out_ct=out_ct, sdr_cg=sdr_cg, hdr_cg=hdr_cg,
-        use_base_cg=use_base_cg)
+        use_base_cg=use_base_cg, use_pallas=use_pallas)
     return packed, gm_u8
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "sampling_key", "gm_channels", "scale_k", "out_ct", "sdr_cg",
+    "hdr_cg", "use_base_cg"))
+def _fused_decode(base_coeffs, base_qts, gm_coeffs, gm_qts, meta_arrays,
+                  weight, *, h: int, w: int, sampling_key: str,
+                  gm_channels: int, scale_k: int, out_ct: ColorTransfer,
+                  sdr_cg: ColorGamut, hdr_cg: ColorGamut, use_base_cg: bool):
+    """Single-image fused decode program (see _decode_device_core)."""
+    return _decode_device_core(
+        base_coeffs, base_qts, gm_coeffs, gm_qts, meta_arrays, weight,
+        h=h, w=w, sampling_key=sampling_key, gm_channels=gm_channels,
+        scale_k=scale_k, out_ct=out_ct, sdr_cg=sdr_cg, hdr_cg=hdr_cg,
+        use_base_cg=use_base_cg)
 
 
 _ESC_CAP = 8192
@@ -622,6 +635,83 @@ def upload_coeff_planes(coeffs: list[np.ndarray]):
                 jnp.asarray(dc), jnp.asarray(ac8), jnp.asarray(idx),
                 jnp.asarray(val)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# batched device decode: ONE coalesced upload + ONE vmapped program per K
+# uniform images (the decode-side analog of encode's K-batching; the link
+# pays ~40 ms fixed latency per transfer, and the per-image path uploads
+# 16-24 small plane buffers)
+
+def pack_coeff_wire(planes) -> bytes | None:
+    """Coalesce one image's coefficient planes into a single wire blob:
+    per plane [dc i16][ac int8][esc_idx i32][esc_val i32] back to back
+    (the pack_coeffs_for_upload layout, byte-concatenated).  None when any
+    plane's escape list overflows (caller decodes that image singly)."""
+    parts = []
+    for c in planes:
+        packed = pack_coeffs_for_upload(c)
+        if packed is None:
+            return None
+        dc, ac8, idx, val = packed
+        parts += [dc.tobytes(), ac8.tobytes(), idx.tobytes(),
+                  val.astype(np.int32).tobytes()]
+    return b"".join(parts)
+
+
+def _unpack_coeff_wire(blob, plane_shapes: tuple):
+    """Device half of pack_coeff_wire: slice + bitcast the blob back into
+    reconstructed int32 coefficient arrays (static section layout)."""
+    out = []
+    off = 0
+    for bh, bw in plane_shapes:
+        n = bh * bw
+        dc = jax.lax.bitcast_convert_type(
+            jax.lax.slice(blob, [off], [off + 2 * n]).reshape(n, 2),
+            jnp.int16).reshape(bh, bw)
+        off += 2 * n
+        ac8 = jax.lax.bitcast_convert_type(
+            jax.lax.slice(blob, [off], [off + 63 * n]),
+            jnp.int8).reshape(bh, bw, 63)
+        off += 63 * n
+        idx = jax.lax.bitcast_convert_type(
+            jax.lax.slice(blob, [off], [off + 4 * _ESC_CAP])
+            .reshape(_ESC_CAP, 4), jnp.int32)
+        off += 4 * _ESC_CAP
+        val = jax.lax.bitcast_convert_type(
+            jax.lax.slice(blob, [off], [off + 4 * _ESC_CAP])
+            .reshape(_ESC_CAP, 4), jnp.int32)
+        off += 4 * _ESC_CAP
+        flat = ac8.astype(jnp.int32).reshape(-1)
+        flat = flat.at[idx].set(val, mode="drop")
+        ac = flat.reshape(bh, bw, 63)
+        out.append(jnp.concatenate(
+            [dc[..., None].astype(jnp.int32), ac], axis=-1))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "plane_shapes", "n_base", "h", "w", "sampling_key", "gm_channels",
+    "scale_k", "out_ct", "sdr_cg", "hdr_cg", "use_base_cg"))
+def _fused_decode_batch(blobs, qts, meta_arrays, weights, *,
+                        plane_shapes: tuple, n_base: int, h: int, w: int,
+                        sampling_key: str, gm_channels: int, scale_k: int,
+                        out_ct: ColorTransfer, sdr_cg: ColorGamut,
+                        hdr_cg: ColorGamut, use_base_cg: bool):
+    """K uniform images decode as one program: blobs (K, wire_bytes) u8,
+    qts (K, n_planes, 64) i32, meta_arrays dict of (K, 3) f32, weights
+    (K,) f32.  Output packing identical to _fused_decode per image (the
+    wire is byte-invisible)."""
+    def one(blob, qt, meta, wgt):
+        planes = _unpack_coeff_wire(blob, plane_shapes)
+        return _decode_device_core(
+            planes[:n_base], [qt[i] for i in range(n_base)],
+            planes[n_base:], [qt[i] for i in range(n_base, qt.shape[0])],
+            meta, wgt, h=h, w=w, sampling_key=sampling_key,
+            gm_channels=gm_channels, scale_k=scale_k, out_ct=out_ct,
+            sdr_cg=sdr_cg, hdr_cg=hdr_cg, use_base_cg=use_base_cg,
+            use_pallas=False)  # vmapped program: plain XLA apply
+    return jax.vmap(one)(blobs, qts, meta_arrays, weights)
 
 
 def decode_coefficients(data: bytes, info):

@@ -96,6 +96,10 @@ struct BitWriter {
   bool overflow;
 
   void put(uint32_t code, int size) {
+    // size 0 happens for zero value-bit payloads (e.g. a DC diff of 0);
+    // the shift below would then be 64 when the accumulator is empty,
+    // which is undefined for uint64_t
+    if (size == 0) return;
     acc |= (uint64_t)code << (64 - nbits - size);
     nbits += size;
     while (nbits >= 8) {
@@ -384,6 +388,7 @@ int64_t uhdr_encode_scan(const int16_t** coeffs, const int32_t* comp_meta,
             int diff = blk[0] - last_dc[ci];
             last_dc[ci] = blk[0];
             int s = bit_size(diff);
+            if (s > 15 || dct.size[s] == 0) return -3;  // uncodable symbol
             w.put(dct.code[s], dct.size[s]);
             if (s) {
               int bits = diff < 0 ? diff + (1 << s) - 1 : diff;
@@ -403,6 +408,7 @@ int64_t uhdr_encode_scan(const int16_t** coeffs, const int32_t* comp_meta,
               }
               int sz = bit_size(v);
               int sym = (run << 4) | sz;
+              if (sz > 10 || act.size[sym] == 0) return -3;  // uncodable
               w.put(act.code[sym], act.size[sym]);
               int bits = v < 0 ? v + (1 << sz) - 1 : v;
               w.put((uint32_t)bits & ((1u << sz) - 1), sz);

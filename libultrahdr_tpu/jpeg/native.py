@@ -29,11 +29,19 @@ def _build() -> pathlib.Path:
     cache = pathlib.Path(os.environ.get(
         "UHDR_TPU_CACHE", os.path.expanduser("~/.cache/libultrahdr_tpu")))
     cache.mkdir(parents=True, exist_ok=True)
-    so = cache / f"jpeg_entropy_{tag}.so"
+    # UHDR_TPU_SANITIZE=1 builds with ASan+UBSan (the reference's
+    # UHDR_SANITIZE_OPTIONS analog, docs/building.md:70); the process must
+    # LD_PRELOAD libasan — tools/sanitize_replay.py arranges that.
+    sanitize = os.environ.get("UHDR_TPU_SANITIZE") == "1"
+    so = cache / (f"jpeg_entropy_{tag}_asan.so" if sanitize
+                  else f"jpeg_entropy_{tag}.so")
     if not so.exists():
         tmp = so.with_suffix(".so.tmp")
+        flags = (["-O1", "-g", "-fsanitize=address,undefined",
+                  "-fno-sanitize-recover=all"] if sanitize
+                 else ["-O3", "-march=native"])
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17"]
+            ["g++", *flags, "-shared", "-fPIC", "-std=c++17"]
             + [str(s) for s in _SRCS] + ["-o", str(tmp)],
             check=True, capture_output=True)
         os.replace(tmp, so)

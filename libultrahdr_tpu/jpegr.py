@@ -597,6 +597,134 @@ class JpegR:
                                              pinfo.height)
         return arr, metadata
 
+    def decode_to_device_batch(self, streams, output_ct=ColorTransfer.HLG,
+                               max_display_boost: float = 3.4028235e38):
+        """Batched decode_to_device: K JPEG_R streams -> K device-resident
+        packed outputs with ONE coalesced coefficient upload and ONE
+        vmapped program per uniform group (the decode-side analog of the
+        encode pipeline's K-batching; the link pays ~40 ms fixed latency
+        per transfer, so the per-image path's 16-24 plane uploads dominate
+        TPU-serving decode throughput).
+
+        Streams whose shape/colorspace differs from the group, or whose
+        coefficients overflow the wire escape budget, fall back to the
+        per-image path transparently.  Returns a list of
+        (device_array, GainMapMetadata) in input order; output bytes are
+        identical to decode_to_device per image (the wire and the batching
+        are byte-invisible; on TPU at map scale 1 the per-image path uses
+        the Pallas apply whose transcendentals may differ by 1 ulp).
+
+        Reference role: the decode contract at jpegr.cpp:1384-1446, scaled
+        the TPU way (batch the link, vmap the program) instead of the
+        reference's 4-thread row pool."""
+        from . import fused as fused_mod
+        output_ct = ColorTransfer(output_ct)
+        if output_ct == ColorTransfer.SRGB:
+            raise unsupported("device-resident decode targets HDR outputs")
+
+        parsed = []        # per stream: dict | None (None -> fallback)
+        for data in streams:
+            try:
+                primary, gm_jpeg = self.extract_primary_and_gainmap(data)
+                if gm_jpeg is None:
+                    raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                    "no gain map image present")
+                pinfo = parse_jpeg(primary)
+                gm_info = parse_jpeg(gm_jpeg)
+                metadata = self.parse_gainmap_metadata(
+                    gm_info.iso, gm_info.xmp, pinfo.exif)
+            except UhdrError:
+                raise
+            if (pinfo.progressive or gm_info.progressive
+                    or pinfo.num_components != 3
+                    or gm_info.num_components not in (1, 3)):
+                parsed.append(None)
+                continue
+            from .jpeg.decoder import get_output_sampling_format
+            base_fmt = get_output_sampling_format(pinfo)
+            key = {ImgFmt.YUV444: "444", ImgFmt.YUV440: "440",
+                   ImgFmt.YUV422: "422", ImgFmt.YUV420: "420"}.get(base_fmt)
+            w, h = pinfo.width, pinfo.height
+            mw, mh = gm_info.width, gm_info.height
+            if (key is None or mw == 0 or mh == 0 or w % mw or h % mh
+                    or w // mw != h // mh
+                    or (gm_info.num_components == 3 and any(
+                        c.h != 1 or c.v != 1 for c in gm_info.components))):
+                parsed.append(None)
+                continue
+            sdr_cg = icc_mod.read_icc_color_gamut(pinfo.icc) if pinfo.icc \
+                else ColorGamut.UNSPECIFIED
+            gm_cg = icc_mod.read_icc_color_gamut(gm_info.icc) if gm_info.icc \
+                else ColorGamut.UNSPECIFIED
+            s_cg = ColorGamut.BT709 if sdr_cg == ColorGamut.UNSPECIFIED \
+                else ColorGamut(sdr_cg)
+            h_cg = s_cg if ColorGamut(gm_cg) == ColorGamut.UNSPECIFIED \
+                else ColorGamut(gm_cg)
+            parsed.append({
+                "primary": primary, "gm": gm_jpeg, "pinfo": pinfo,
+                "gm_info": gm_info, "metadata": metadata, "key": key,
+                "w": w, "h": h, "scale_k": w // mw,
+                "gm_channels": gm_info.num_components, "s_cg": s_cg,
+                "h_cg": h_cg,
+                "use_base_cg": bool(metadata.use_base_cg)})
+
+        # group signature of the first decodable stream defines the batch
+        sig = None
+        for p in parsed:
+            if p is not None:
+                sig = (p["w"], p["h"], p["key"], p["scale_k"],
+                       p["gm_channels"], p["s_cg"], p["h_cg"],
+                       p["use_base_cg"])
+                break
+
+        batch_idx, blobs, qts, metas, weights = [], [], [], [], []
+        for i, p in enumerate(parsed):
+            if p is None or sig != (p["w"], p["h"], p["key"], p["scale_k"],
+                                    p["gm_channels"], p["s_cg"], p["h_cg"],
+                                    p["use_base_cg"]):
+                continue
+            base_coeffs, base_qts, _ = fused_mod.decode_coefficients(
+                p["primary"], p["pinfo"])
+            gm_coeffs, gm_qts, _ = fused_mod.decode_coefficients(
+                p["gm"], p["gm_info"])
+            blob = fused_mod.pack_coeff_wire(base_coeffs + gm_coeffs)
+            if blob is None:
+                continue
+            p["shapes"] = tuple(c.shape[:2] for c in base_coeffs) \
+                + tuple(c.shape[:2] for c in gm_coeffs)
+            p["n_base"] = len(base_coeffs)
+            batch_idx.append(i)
+            blobs.append(np.frombuffer(blob, np.uint8))
+            qts.append(np.stack([np.asarray(q, np.int32)
+                                 for q in base_qts + gm_qts]))
+            metas.append(apply_ops.metadata_to_arrays(p["metadata"]))
+            weights.append(apply_ops.gainmap_weight(
+                max_display_boost, float(p["metadata"].hdr_capacity_min),
+                float(p["metadata"].hdr_capacity_max)))
+
+        results: list = [None] * len(streams)
+        if len(batch_idx) >= 2:
+            p0 = parsed[batch_idx[0]]
+            meta_stack = {k: np.stack([m[k] for m in metas])
+                          for k in metas[0]}
+            packed, _ = fused_mod._fused_decode_batch(
+                jnp.asarray(np.stack(blobs)), jnp.asarray(np.stack(qts)),
+                meta_stack, jnp.asarray(np.asarray(weights, np.float32)),
+                plane_shapes=p0["shapes"], n_base=p0["n_base"],
+                h=p0["h"], w=p0["w"], sampling_key=p0["key"],
+                gm_channels=p0["gm_channels"], scale_k=p0["scale_k"],
+                out_ct=output_ct, sdr_cg=p0["s_cg"], hdr_cg=p0["h_cg"],
+                use_base_cg=p0["use_base_cg"])
+            for k, i in enumerate(batch_idx):
+                results[i] = (packed[k], parsed[i]["metadata"])
+
+        for i, data in enumerate(streams):
+            if results[i] is None:
+                results[i] = self.decode_to_device(
+                    data, output_ct=output_ct,
+                    max_display_boost=max_display_boost)
+        return results
+
     def decode_host(self, data: bytes, output_ct=ColorTransfer.HLG,
                     output_fmt=ImgFmt.RGBA1010102,
                     max_display_boost: float = 3.4028235e38):

@@ -69,12 +69,12 @@ def _gain_to_float(g):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "scale_k", "out_ct", "sdr_cg", "hdr_cg", "use_base_cg"))
+    "scale_k", "out_ct", "sdr_cg", "hdr_cg", "use_base_cg", "use_pallas"))
 def apply_gainmap_core(sdr_yuv, gain_u8, metadata_arrays, *, scale_k: int,
                        weight, out_ct: ColorTransfer,
                        sdr_cg: ColorGamut, hdr_cg: ColorGamut,
                        use_base_cg: bool, gain_halo_row=None,
-                       edge_is_last=None):
+                       edge_is_last=None, use_pallas: bool = True):
     """Fused decode: SDR YUV (3,H,W) + gain map (C,mh,mw) u8 -> packed output.
 
     Output dtype: uint64 RGBAF16 (LINEAR) or uint32 RGBA1010102 (HLG/PQ)
@@ -85,7 +85,7 @@ def apply_gainmap_core(sdr_yuv, gain_u8, metadata_arrays, *, scale_k: int,
     idw.idw_upsample_sharded; None for the single-device path."""
     h, w = sdr_yuv.shape[1], sdr_yuv.shape[2]
     out_ct_e = ColorTransfer(out_ct)
-    if (scale_k == 1 and gain_halo_row is None
+    if (use_pallas and scale_k == 1 and gain_halo_row is None
             and jax.default_backend() != "cpu"
             and out_ct_e in (ColorTransfer.HLG, ColorTransfer.PQ,
                              ColorTransfer.LINEAR)):
@@ -117,7 +117,7 @@ def apply_gainmap_core(sdr_yuv, gain_u8, metadata_arrays, *, scale_k: int,
     gain_f = _gain_to_float(gain_u8)
     if gain_halo_row is not None and scale_k > 1:
         gain = idw.idw_upsample_sharded(
-            gain_f, gain_halo_row.astype(jnp.float32) / 255.0,
+            gain_f, _gain_to_float(gain_halo_row),
             edge_is_last, scale_k, h, w)
     else:
         gain = idw.idw_upsample(gain_f, scale_k, h, w)

@@ -207,13 +207,15 @@ def sharded_encode_jpeg_step(mesh: Mesh, *, cg=ColorGamut.BT2100,
     Because the entropy stream uses one restart segment per MCU row
     (jpeg/device_entropy.py), spatial shards pack their own MCU rows with
     zero cross-shard communication, and the assembled scan is bit-identical
-    to the single-device pack (assemble_sharded_scan + tests).
+    to the single-device pack (assemble_sharded_scan + tests).  Uses the
+    scatter-free v2 packer — the same packer as the single-chip perf path —
+    so multi-chip encode reproduces single-chip performance characteristics.
 
     Input y (B, H, W) u16 / uv (B, H/2, W) u16, B over "data", rows over
     "spatial".  Per-shard H must be a multiple of 16*scale' where scale'
     keeps the gain map's own MCU rows shard-local (scale*8 for YUV400).
-    Returns per-image, per-shard word buffers + row byte offsets for the
-    base and gain-map scans."""
+    Returns per-image, per-shard (word buffers, block bit lengths) for the
+    base and gain-map scans; assemble with assemble_sharded_scan."""
     from ..jpeg import device_entropy
     from ..jpeg.dct import forward_plane
     from ..jpeg.tables import (STD_CHROMA_QUANT, STD_LUMA_QUANT,
@@ -232,7 +234,7 @@ def sharded_encode_jpeg_step(mesh: Mesh, *, cg=ColorGamut.BT2100,
             use_base_cg=use_base_cg)
         layout = device_entropy.scan_layout(((2, 2), (1, 1), (1, 1)),
                                             w // 16, h // 16)
-        base_words, base_off = device_entropy.pack_scan_device(
+        base_words, base_blen = device_entropy.pack_scan_device_v2(
             [forward_plane(y8, qluma), forward_plane(u8, qchroma),
              forward_plane(v8, qchroma)], layout)
         mh, mw = h // scale, w // scale
@@ -240,14 +242,14 @@ def sharded_encode_jpeg_step(mesh: Mesh, *, cg=ColorGamut.BT2100,
             from ..fused import _rgb_to_ycbcr
             gmp = _rgb_to_ycbcr(gm)
             gl = device_entropy.scan_layout(((1, 1),) * 3, mw // 8, mh // 8)
-            gm_words, gm_off = device_entropy.pack_scan_device(
+            gm_words, gm_blen = device_entropy.pack_scan_device_v2(
                 [forward_plane(gmp[0], mq), forward_plane(gmp[1], mqc),
                  forward_plane(gmp[2], mqc)], gl)
         else:
             gl = device_entropy.scan_layout(((1, 1),), mw // 8, mh // 8)
-            gm_words, gm_off = device_entropy.pack_scan_device(
+            gm_words, gm_blen = device_entropy.pack_scan_device_v2(
                 [forward_plane(gm[0], mq)], gl)
-        return base_words, base_off, gm_words, gm_off
+        return base_words, base_blen, gm_words, gm_blen
 
     img_spec = P("data", "spatial", None)
     out_specs = (P("data", "spatial"), P("data", "spatial"),
@@ -267,25 +269,31 @@ def sharded_encode_jpeg_step(mesh: Mesh, *, cg=ColorGamut.BT2100,
     return jax.jit(step)
 
 
-def assemble_sharded_scan(words: np.ndarray, offs: np.ndarray) -> bytes:
-    """Join one image's per-shard packed rows into a final scan.
+def assemble_sharded_scan(words: np.ndarray, blen: np.ndarray,
+                          bpr: int) -> bytes:
+    """Join one image's per-shard v2-packed blocks into a final scan.
 
-    words: (n_spatial * cap_words,) u32 from sharded_encode_jpeg_step
-    (stacked shard buffers); offs: (n_spatial * (rows_local + 1),) i32
-    per-shard byte offsets.  Produces the byte-stuffed, RST-joined scan."""
-    from ..jpeg import native
-    n_spatial = offs.shape[0] if offs.ndim == 2 else 1
-    offs = offs.reshape(n_spatial, -1).astype(np.int64)
-    cap_bytes = (words.size // n_spatial) * 4
-    starts, ends = [], []
+    words: (n_spatial, cap_words) or flat (n_spatial * cap_words,) u32 —
+    stacked per-shard compacted block buffers from
+    sharded_encode_jpeg_step; blen: (n_spatial, blocks_local) or flat u16
+    block bit lengths.  Each shard's live prefix (total_words_v2 of its
+    blens) concatenates in row order, then ONE native join pass emits the
+    byte-stuffed, RST-joined scan — identical to the single-device
+    fetch_blocks path, and bit-identical to the single-device pack because
+    every restart row resets the DC predictor."""
+    from ..jpeg import device_entropy, native
+    blen = np.asarray(blen)
+    n_spatial = blen.shape[0] if blen.ndim == 2 else 1
+    blen = blen.reshape(n_spatial, -1)
+    words = np.asarray(words).reshape(n_spatial, -1)
+    parts = []
     for s in range(n_spatial):
-        base = s * cap_bytes
-        starts.extend(base + offs[s, :-1])
-        ends.extend(base + offs[s, 1:])
-    buf = np.ascontiguousarray(words).astype(">u4", copy=False) \
-        .view(np.uint8).reshape(-1)
-    return native.stuff_scan_ranges(buf, np.asarray(starts),
-                                    np.asarray(ends))
+        need = device_entropy.total_words_v2(blen[s])
+        if need > words.shape[1]:
+            raise device_entropy.PackOverflowError(
+                f"shard {s} needs {need} words > budget {words.shape[1]}")
+        parts.append(words[s, :need])
+    return native.join_blocks(np.concatenate(parts), blen.reshape(-1), bpr)
 
 
 def sharded_apply_step(mesh: Mesh, *, scale_k: int = 1,

@@ -24,3 +24,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy e2e / fuzz / sanitizer tiers. Smoke tier: "
+        "pytest -m 'not slow' (~fast); full tier: plain pytest.")

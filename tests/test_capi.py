@@ -17,6 +17,9 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+pytestmark = pytest.mark.slow  # embedded-interpreter C ABI flows
+
+
 @pytest.mark.skipif(shutil.which("g++") is None or shutil.which("gcc") is None,
                     reason="native toolchain unavailable")
 def test_capi_roundtrip():

@@ -54,3 +54,53 @@ def test_fused_decode_scale1():
     for s in (0, 10, 20):
         assert int(np.abs(((pf >> s) & 0x3FF).astype(np.int64)
                           - ((pg >> s) & 0x3FF).astype(np.int64)).max()) <= 1
+
+
+class TestDecodeBatch:
+    """decode_to_device_batch: one coalesced upload + one vmapped program
+    per uniform group, bit-identical to the per-image path."""
+
+    def _enc(self, w, h, seed, scale=2, quality=92):
+        rs = np.random.RandomState(seed)
+        y = (rs.randint(0, 1024, (h, w)).astype(np.uint16) << 6)
+        uv = (rs.randint(300, 700, (h // 2, w)).astype(np.uint16) << 6)
+        img = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                       ColorRange.FULL, w, h, [y, uv])
+        jr = JpegR(map_dimension_scale_factor=scale,
+                   preset=EncPreset.REALTIME)
+        return jr.encode_api0(img, quality=quality)
+
+    def test_batch_matches_per_image(self):
+        streams = [self._enc(96, 64, s) for s in range(3)]
+        jr = JpegR()
+        outs = jr.decode_to_device_batch(streams,
+                                         output_ct=ColorTransfer.HLG)
+        assert len(outs) == 3
+        for data, (arr, md) in zip(streams, outs):
+            ref_arr, ref_md = JpegR().decode_to_device(
+                data, output_ct=ColorTransfer.HLG)
+            np.testing.assert_array_equal(np.asarray(arr),
+                                          np.asarray(ref_arr))
+            assert md.hdr_capacity_max == ref_md.hdr_capacity_max
+
+    def test_mixed_shapes_fall_back(self):
+        streams = [self._enc(96, 64, 1), self._enc(128, 64, 2),
+                   self._enc(96, 64, 3)]
+        outs = JpegR().decode_to_device_batch(streams,
+                                              output_ct=ColorTransfer.PQ)
+        assert len(outs) == 3
+        for data, (arr, _) in zip(streams, outs):
+            ref_arr, _ = JpegR().decode_to_device(
+                data, output_ct=ColorTransfer.PQ)
+            np.testing.assert_array_equal(np.asarray(arr),
+                                          np.asarray(ref_arr))
+
+    def test_linear_f16_batch(self):
+        streams = [self._enc(96, 64, s, scale=1) for s in (5, 6)]
+        outs = JpegR().decode_to_device_batch(
+            streams, output_ct=ColorTransfer.LINEAR)
+        for data, (arr, _) in zip(streams, outs):
+            ref_arr, _ = JpegR().decode_to_device(
+                data, output_ct=ColorTransfer.LINEAR)
+            np.testing.assert_array_equal(np.asarray(arr),
+                                          np.asarray(ref_arr))

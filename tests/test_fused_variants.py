@@ -10,6 +10,9 @@ from libultrahdr_tpu.types import (ColorGamut, ColorRange, ColorTransfer,
 W, H = 96, 64
 
 
+pytestmark = pytest.mark.slow  # full fused-config matrix
+
+
 def _rgba1010102():
     rs = np.random.RandomState(1)
     r = rs.randint(0, 1024, (H, W)).astype(np.uint32)

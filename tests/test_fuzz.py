@@ -14,6 +14,9 @@ from libultrahdr_tpu import (ColorGamut, ColorRange, ColorTransfer, ImgFmt,
 from libultrahdr_tpu.jpegr import is_uhdr_image
 
 
+pytestmark = pytest.mark.slow  # randomized parser sweeps
+
+
 @pytest.fixture(scope="module")
 def encoded():
     rs = np.random.RandomState(5)

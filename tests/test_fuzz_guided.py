@@ -18,6 +18,9 @@ BUDGETS = {"scan": 1500, "iso": 1500, "xmp": 800, "icc": 1500,
            "jpeg_parse": 800, "jpeg_decode": 150, "probe": 200}
 
 
+pytestmark = pytest.mark.slow  # bounded guided-fuzz budget
+
+
 @pytest.mark.parametrize("target", sorted(BUDGETS))
 def test_guided_fuzz_clean(target):
     # subprocess: sys.monitoring line events must not fight pytest's own

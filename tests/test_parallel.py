@@ -130,7 +130,7 @@ def test_sharded_jpeg_pack_bit_identical():
     y, uv = _p010_batch(b, h, w, seed=11)
     mesh = parallel.make_mesh(2, 4)
     step = sharded_encode_jpeg_step(mesh, scale=scale, multichannel=False)
-    bw_s, boff_s, gw_s, goff_s = jax.block_until_ready(step(y, uv))
+    bw_s, blen_s, gw_s, glen_s = jax.block_until_ready(step(y, uv))
 
     for i in range(b):
         # single-device reference scan
@@ -149,9 +149,11 @@ def test_sharded_jpeg_pack_bit_identical():
 
         n_sp = mesh.shape["spatial"]
         base_scan = assemble_sharded_scan(
-            np.asarray(bw_s[i]), np.asarray(boff_s[i]).reshape(n_sp, -1))
+            np.asarray(bw_s[i]), np.asarray(blen_s[i]).reshape(n_sp, -1),
+            bl.bpr)
         gm_scan = assemble_sharded_scan(
-            np.asarray(gw_s[i]), np.asarray(goff_s[i]).reshape(n_sp, -1))
+            np.asarray(gw_s[i]), np.asarray(glen_s[i]).reshape(n_sp, -1),
+            gl.bpr)
         # base planes are bitwise-identical across program shapes, so the
         # assembled scan must match the single-device pack EXACTLY
         assert base_scan == base_ref
@@ -198,7 +200,7 @@ def test_sharded_jpeg_pack_realistic_shape():
     uv = (rs.randint(300, 700, (b, h // 2, w)).astype(np.uint16) << 6)
     mesh = parallel.make_mesh(1, 8)
     step = sharded_encode_jpeg_step(mesh, scale=scale, multichannel=False)
-    bw_s, boff_s, _, _ = jax.block_until_ready(step(y, uv))
+    bw_s, blen_s, _, _ = jax.block_until_ready(step(y, uv))
 
     out = fused._fused_api0_p010(
         jnp.asarray(y[0]), jnp.asarray(uv[0]),
@@ -214,8 +216,68 @@ def test_sharded_jpeg_pack_realistic_shape():
 
     base_scan = assemble_sharded_scan(
         np.asarray(bw_s[0]),
-        np.asarray(boff_s[0]).reshape(mesh.shape["spatial"], -1))
+        np.asarray(blen_s[0]).reshape(mesh.shape["spatial"], -1), bl.bpr)
     assert base_scan == base_ref
+
+
+def test_sharded_8k_full_container_bit_identical():
+    """UHDR_MAX_DIMENSION-wide (8192, jpegdecoderhelper.cpp:46-58) image
+    spatially sharded across the whole 8-device mesh: the assembled JPEG_R
+    container must be BYTE-IDENTICAL to the single-device encode.  At map
+    scale 1 there is no box-downsample to reassociate, so base and gain-map
+    scans are both exactly reproducible."""
+    import jax.numpy as jnp
+    from libultrahdr_tpu import fused
+    from libultrahdr_tpu.jpegr import JpegR, is_uhdr_image
+    from libultrahdr_tpu.parallel.batch import (assemble_sharded_scan,
+                                                sharded_encode_jpeg_step)
+    from libultrahdr_tpu.types import ColorGamut, ColorTransfer
+
+    h, w, scale = 128, 8192, 1
+    rs = np.random.RandomState(5)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    lum = 500 + 280 * np.sin(xx / 257.0) * np.cos(yy / 31.0) \
+        + rs.rand(h, w) * 30
+    y = (np.clip(lum, 0, 1023).astype(np.uint16) << 6)[None]
+    uv = (rs.randint(400, 600, (1, h // 2, w)).astype(np.uint16) << 6)
+
+    mesh = parallel.make_mesh(1, 8)
+    step = sharded_encode_jpeg_step(mesh, scale=scale, multichannel=False)
+    bw_s, blen_s, gw_s, glen_s = jax.block_until_ready(step(y, uv))
+
+    bl = fused._layout_for(h, w, fused._SAMPLING_420)
+    gl = fused._layout_for(h // scale, w // scale, fused._SAMPLING_400)
+    n_sp = mesh.shape["spatial"]
+    base_scan = assemble_sharded_scan(
+        np.asarray(bw_s[0]), np.asarray(blen_s[0]).reshape(n_sp, -1), bl.bpr)
+    gm_scan = assemble_sharded_scan(
+        np.asarray(gw_s[0]), np.asarray(glen_s[0]).reshape(n_sp, -1), gl.bpr)
+
+    jr = JpegR(map_dimension_scale_factor=scale,
+               use_multi_channel_gainmap=False)
+    md = fused._onepass_metadata(jr, ColorTransfer.HLG, use_base_cg=False)
+    sharded_container = fused._assemble_container(
+        jr, w, h, 95, base_scan, fused._SAMPLING_420, ColorGamut.DISPLAY_P3,
+        scale, gm_scan, md, None, ColorTransfer.HLG, ColorGamut.BT2100)
+
+    # single-device reference: the same fused program, unsharded
+    out = fused._fused_api0_p010(
+        jnp.asarray(y[0]), jnp.asarray(uv[0]),
+        cg=ColorGamut.BT2100, ct=ColorTransfer.HLG, rng=ColorRange.FULL,
+        scale=scale, multichannel=False, gamma=1.0, quality=95,
+        map_quality=95, use_base_cg=False)
+    blen_all = np.asarray(out[1])
+    n_base = bl.mcus_h * bl.bpr
+    base_ref, gm_ref = fused.fetch_blocks_multi(
+        out[0], [(blen_all[:n_base], bl.bpr), (blen_all[n_base:], gl.bpr)])
+    single_container = fused._assemble_container(
+        jr, w, h, 95, base_ref, fused._SAMPLING_420, ColorGamut.DISPLAY_P3,
+        scale, gm_ref, md, None, ColorTransfer.HLG, ColorGamut.BT2100)
+
+    assert base_scan == base_ref
+    assert gm_scan == gm_ref
+    assert sharded_container == single_container
+    assert is_uhdr_image(sharded_container)
 
 
 def test_row_shard_constraint():

@@ -16,6 +16,9 @@ from libultrahdr_tpu.types import (ColorGamut, ColorRange, ColorTransfer,
 W, H = 256, 128
 
 
+pytestmark = pytest.mark.slow  # pipelined encode e2e
+
+
 def _smooth_plane(h, w, seed=0, edges=True):
     rs = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
