@@ -129,6 +129,9 @@ def main(argv=None):
                          "reference's 12 MP benchmark config; NB each new "
                          "shape/config pays a long first compile through "
                          "the remote-compile attachment, cached after)")
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="write the result matrix as a JSON artifact "
+                         "(BENCHMATRIX_r*.json for the judge)")
     args = ap.parse_args(argv)
 
     if args.quick:
@@ -207,6 +210,28 @@ def main(argv=None):
     print(f"\n{'config':<{width}}  {'ms':>9}  {'MP/s':>8}")
     for name, dt, mpps in rows:
         print(f"{name:<{width}}  {dt * 1e3:9.1f}  {mpps:8.2f}")
+
+    if args.json:
+        import datetime
+        import json
+        import jax
+        artifact = {
+            "resolution": f"{w}x{h}",
+            "megapixels": round(mp, 3),
+            "reps": reps,
+            "date": datetime.date.today().isoformat(),
+            "device": str(jax.devices()[0]),
+            "reference_anchor": {
+                "source": "/root/reference/benchmark/benchmark_test.cpp:62-72",
+                "measured_cpu_this_host": "BASELINE.md (12MP api0 encode "
+                                          "2.720 MP/s, 4K decode 8.210 MP/s)",
+            },
+            "rows": [{"config": n, "ms": round(dt * 1e3, 1),
+                      "mp_per_s": round(mpps, 2)} for n, dt, mpps in rows],
+        }
+        pathlib.Path(args.json).write_text(json.dumps(artifact, indent=1)
+                                           + "\n")
+        print(f"wrote {args.json}")
     return 0
 
 

@@ -123,36 +123,47 @@ def _fused_api0_p010_packed(y_bits, uv_bits, *, h: int, w: int,
                                  use_base_cg=use_base_cg)
 
 
-def _delta7_decode_plane(words, esc_idx, esc_val, h: int, w: int,
-                         uv_interleaved: bool):
-    """Device half of the delta7 wire codec (native.pack_delta7): bit-sliced
-    7-bit delta codes -> u16 P010 samples (value in the 10 MSB).
+def _delta_decode_plane(words, esc_idx, esc_val, h: int, w: int,
+                        uv_interleaved: bool, bits: int = 7,
+                        two_d: bool = False):
+    """Device half of the delta wire codec (native.uhdr_pack_delta):
+    bit-sliced `bits`-wide delta codes -> u16 P010 samples (value in the
+    10 MSB).
 
-    Un-slicing is 7 static shift-ands per 32-sample group (no gather),
-    escapes patch via one tiny scatter, and the row cumsum undoes the
-    delta filter (per-channel stride for interleaved UV)."""
+    Un-slicing is `bits` static shift-ands per 32-sample group (no
+    gather), escapes patch via one tiny scatter, and a row cumsum (plus a
+    column cumsum for the 2D predictor) undoes the delta filter
+    (per-channel stride for interleaved UV)."""
     n = h * w
     lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
     s = jnp.zeros((words.shape[0], 32), jnp.int32)
-    for j in range(7):
+    for j in range(bits):
         s = s | (((words[:, j:j + 1] >> lanes) & 1) << j).astype(jnp.int32)
-    d = s.reshape(-1)[:n] - 64
+    d = s.reshape(-1)[:n] - (1 << (bits - 1))
     d = d.at[esc_idx].set(esc_val.astype(jnp.int32), mode="drop")
     if uv_interleaved:
-        v = jnp.cumsum(d.reshape(h, w // 2, 2), axis=1).reshape(h, w) + 512
+        t = jnp.cumsum(d.reshape(h, w // 2, 2), axis=1).reshape(h, w)
     else:
-        v = jnp.cumsum(d.reshape(h, w), axis=1) + 512
+        t = jnp.cumsum(d.reshape(h, w), axis=1)
+    v = (jnp.cumsum(t, axis=0) if two_d else t) + 512
     return (v.astype(jnp.uint16) << 6)
 
 
-def _delta7_wire_layout(h: int, w: int):
-    """Word offsets of the single-buffer delta7 upload: [y words][uv words]
+def _delta7_decode_plane(words, esc_idx, esc_val, h: int, w: int,
+                         uv_interleaved: bool):
+    """The original 1D/7-bit wire decode (kept for tests/back-compat)."""
+    return _delta_decode_plane(words, esc_idx, esc_val, h, w,
+                               uv_interleaved)
+
+
+def _delta_wire_layout(h: int, w: int, bits: int = 7):
+    """Word offsets of the single-buffer delta upload: [y words][uv words]
     [y esc_idx i32][y esc_val i16][uv esc_idx][uv esc_val], all in one u32
     buffer so each image costs ONE h2d transfer (the tunnel link pays a
     fixed latency per transfer)."""
     cap = native.DELTA7_ESC_CAP
-    ny = -(-(h * w) // 32) * 7
-    nuv = -(-((h // 2) * w) // 32) * 7
+    ny = -(-(h * w) // 32) * bits
+    nuv = -(-((h // 2) * w) // 32) * bits
     offs = [0, ny, ny + nuv]
     offs.append(offs[-1] + cap)            # y esc_idx (i32)
     offs.append(offs[-1] + cap // 2)       # y esc_val (i16)
@@ -161,47 +172,92 @@ def _delta7_wire_layout(h: int, w: int):
     return offs
 
 
-def pack_delta7_wire(y_plane: np.ndarray, uv_plane: np.ndarray):
+def _delta7_wire_layout(h: int, w: int):
+    return _delta_wire_layout(h, w, 7)
+
+
+def _wire_mode() -> tuple[bool, int]:
+    """Upload wire mode from UHDR_TPU_WIRE: '2d5' (default; 2D predictor +
+    5-bit codes, ~27% fewer wire bytes than 1d7 — photographic content
+    measures <1% escapes), '1d7' (the original delta7), or any '1dN'/'2dN'
+    with N in 2..8.  Non-default modes fall back per image to 1d7 and then
+    to the dense 10-bit pack when escapes overflow, so the mode is a pure
+    perf knob (wire choice is byte-invisible in the output)."""
+    import os
+    m = os.environ.get("UHDR_TPU_WIRE", "2d5").strip().lower()
+    try:
+        two_d = m[0] == "2"
+        bits = int(m[2:])
+        if m[1] != "d" or not 2 <= bits <= 8:
+            raise ValueError(m)
+    except (ValueError, IndexError):
+        return False, 7
+    return two_d, bits
+
+
+def pack_delta_wire(y_plane: np.ndarray, uv_plane: np.ndarray,
+                    two_d: bool = False, bits: int = 7):
     """Host half: pack both P010 planes + escape lists into one u32 wire
-    buffer (see _delta7_wire_layout); None when escapes overflow."""
+    buffer (see _delta_wire_layout); None when escapes overflow."""
     h, w = y_plane.shape
-    o = _delta7_wire_layout(h, w)
-    cap = native.DELTA7_ESC_CAP
+    o = _delta_wire_layout(h, w, bits)
     buf = np.empty(o[-1], np.uint32)
-    ok = native.pack_delta7_into(
-        y_plane, False, buf[o[0]:o[1]].reshape(-1, 7),
-        buf[o[2]:o[3]].view(np.int32), buf[o[3]:o[4]].view(np.int16))
+    ok = native.pack_delta_into(
+        y_plane, False, buf[o[0]:o[1]].reshape(-1, bits),
+        buf[o[2]:o[3]].view(np.int32), buf[o[3]:o[4]].view(np.int16),
+        two_d=two_d, bits=bits)
     if ok and uv_plane.shape == (h // 2, w):
-        ok = native.pack_delta7_into(
-            uv_plane, True, buf[o[1]:o[2]].reshape(-1, 7),
-            buf[o[4]:o[5]].view(np.int32), buf[o[5]:o[6]].view(np.int16))
+        ok = native.pack_delta_into(
+            uv_plane, True, buf[o[1]:o[2]].reshape(-1, bits),
+            buf[o[4]:o[5]].view(np.int32), buf[o[5]:o[6]].view(np.int16),
+            two_d=two_d, bits=bits)
     elif uv_plane.shape != (h // 2, w):
         ok = False
     return buf if ok else None
 
 
+def pack_delta7_wire(y_plane: np.ndarray, uv_plane: np.ndarray):
+    """The 1d7 wire pack (kept monkeypatchable as the default-mode step
+    of _pack_wire_auto)."""
+    return pack_delta_wire(y_plane, uv_plane)
+
+
+def _pack_wire_auto(y_plane: np.ndarray, uv_plane: np.ndarray):
+    """Pack with the configured wire mode, falling back to 1d7: returns
+    (wire_buf, (two_d, bits)) or (None, None) -> dense 10-bit path."""
+    mode = _wire_mode()
+    if mode != (False, 7):
+        buf = pack_delta_wire(y_plane, uv_plane, *mode)
+        if buf is not None:
+            return buf, mode
+    buf = pack_delta7_wire(y_plane, uv_plane)
+    return (buf, (False, 7)) if buf is not None else (None, None)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "cg", "ct", "rng", "scale", "multichannel", "gamma",
-    "quality", "map_quality", "use_base_cg"))
+    "quality", "map_quality", "use_base_cg", "wire_2d", "wire_bits"))
 def _fused_api0_p010_delta7(buf, *, h: int, w: int,
                             cg: ColorGamut, ct: ColorTransfer,
                             rng: ColorRange, scale: int, multichannel: bool,
                             gamma: float, quality: int, map_quality: int,
-                            use_base_cg: bool):
-    """P010 fused API-0 on the single-buffer delta7 wire upload (~25%
+                            use_base_cg: bool, wire_2d: bool = False,
+                            wire_bits: int = 7):
+    """P010 fused API-0 on the single-buffer delta wire upload (~25-45%
     fewer bytes than the dense 10-bit pack and one transfer per image;
     the upload link binds the pipeline)."""
-    o = _delta7_wire_layout(h, w)
-    yw = buf[o[0]:o[1]].reshape(-1, 7)
-    uvw = buf[o[1]:o[2]].reshape(-1, 7)
+    o = _delta_wire_layout(h, w, wire_bits)
+    yw = buf[o[0]:o[1]].reshape(-1, wire_bits)
+    uvw = buf[o[1]:o[2]].reshape(-1, wire_bits)
     yei = jax.lax.bitcast_convert_type(buf[o[2]:o[3]], jnp.int32)
     yev = jax.lax.bitcast_convert_type(buf[o[3]:o[4]],
                                        jnp.int16).reshape(-1)
     uvei = jax.lax.bitcast_convert_type(buf[o[4]:o[5]], jnp.int32)
     uvev = jax.lax.bitcast_convert_type(buf[o[5]:o[6]],
                                         jnp.int16).reshape(-1)
-    y = _delta7_decode_plane(yw, yei, yev, h, w, False)
-    uv = _delta7_decode_plane(uvw, uvei, uvev, h // 2, w, True)
+    y = _delta_decode_plane(yw, yei, yev, h, w, False, wire_bits, wire_2d)
+    uv = _delta_decode_plane(uvw, uvei, uvev, h // 2, w, True, wire_bits,
+                             wire_2d)
     return _fused_api0_p010_body(y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
                                  multichannel=multichannel, gamma=gamma,
                                  quality=quality, map_quality=map_quality,
@@ -254,8 +310,8 @@ def _api0_p010_block_buffers(y, uv, *, cg: ColorGamut, ct: ColorTransfer,
     else:
         gm_coeffs, gm_layout = _scan_coeffs([gm[0]], _SAMPLING_400,
                                             [mq_luma])
-    return [device_entropy._block_buffers(base_coeffs, base_layout),
-            device_entropy._block_buffers(gm_coeffs, gm_layout)]
+    return [device_entropy.block_buffers_t(base_coeffs, base_layout),
+            device_entropy.block_buffers_t(gm_coeffs, gm_layout)]
 
 
 def _fused_api0_p010_body(y, uv, **kw):
@@ -488,6 +544,17 @@ def fetch_scan(words_dev, row_off: np.ndarray) -> bytes:
     return native.stuff_scan(np.frombuffer(raw, np.uint8), row_off)
 
 
+def _check_tile_budgets_if_kernel(block_len_bits: np.ndarray):
+    """Kernel-engine packs compact per tile; an overflowing TILE drops its
+    tail even when the global budget holds, so the fetch must reject it
+    (PackOverflowError -> the caller's general-path fallback)."""
+    if device_entropy.use_pack_kernel():
+        from .jpeg import pack_kernel
+        n = np.asarray(block_len_bits).size
+        pack_kernel.check_tile_budgets(block_len_bits,
+                                       device_entropy._default_budget(n))
+
+
 def fetch_blocks(words_dev, block_len_bits: np.ndarray, bpr: int) -> bytes:
     """v2-packer counterpart of fetch_scan: download the compacted
     word-aligned block segments' valid prefix and bit-join them on host
@@ -499,6 +566,7 @@ def fetch_blocks(words_dev, block_len_bits: np.ndarray, bpr: int) -> bytes:
     if need_words > words_dev.shape[0]:
         raise device_entropy.PackOverflowError(
             f"scan needs {need_words} words > budget {words_dev.shape[0]}")
+    _check_tile_budgets_if_kernel(block_len_bits)
     bucket = min(-(-need_words // _FETCH_GRANULE) * _FETCH_GRANULE,
                  words_dev.shape[0])
     bucket = max(bucket, min(_FETCH_GRANULE, words_dev.shape[0]))
@@ -518,6 +586,8 @@ def fetch_blocks_multi(words_dev, parts) -> list[bytes]:
     if total > words_dev.shape[0]:
         raise device_entropy.PackOverflowError(
             f"scans need {total} words > budget {words_dev.shape[0]}")
+    for bl, _ in parts:
+        _check_tile_budgets_if_kernel(bl)
     bucket = min(-(-total // _FETCH_GRANULE) * _FETCH_GRANULE,
                  words_dev.shape[0])
     bucket = max(bucket, min(_FETCH_GRANULE, words_dev.shape[0]))
@@ -753,23 +823,23 @@ def encode_api0_p010_pipelined(jr, imgs, quality: int = 95,
     import concurrent.futures as _cf
     import os
 
-    # chunk uniform images into K-batches: one upload, one program, two
-    # downloads per K images (the link pays ~40 ms fixed latency per
-    # transfer).  K defaults to 1 (off): the K>1 program is bit-identical
-    # and compiles quickly on CPU and at small shapes, but the 4K compile
-    # through the remote-compile TPU attachment is pathologically slow
-    # (>45 min for K=4); opt in with UHDR_TPU_BATCH_K when the compile
-    # cache is warm or compiles are local.
-    batch_k = max(1, int(os.environ.get("UHDR_TPU_BATCH_K", "1")))
-    # Each image's wire buffer is packed exactly once: a failing (non-delta7)
+    # chunk uniform images into K-batches: one upload, k dispatches of the
+    # per-image program, one stitch, two downloads per K images (the link
+    # pays ~40 ms fixed latency per transfer).  Default-on: batching
+    # reuses the per-image compiled program plus a seconds-to-compile
+    # stitch jit (_stitch_image_streams), so it no longer pays the former
+    # monolithic batch-program compile (>45 min at 4K through the
+    # remote-compile attachment).  UHDR_TPU_BATCH_K=1 disables.
+    batch_k = max(1, int(os.environ.get("UHDR_TPU_BATCH_K", "8")))
+    # Each image's wire buffer is packed exactly once: a failing (non-delta)
     # image ends its chunk, and the next chunk reuses the cached buffers
-    # instead of re-running pack_delta7_wire per retry window.
+    # instead of re-running the wire pack per retry window.
     wire_cache: dict[int, object] = {}
 
     def get_wire(idx):
         if idx not in wire_cache:
-            wire_cache[idx] = pack_delta7_wire(imgs[idx].planes[0],
-                                               imgs[idx].planes[1])
+            wire_cache[idx] = _pack_wire_auto(imgs[idx].planes[0],
+                                              imgs[idx].planes[1])
         return wire_cache[idx]
 
     def uniform(a, b):
@@ -780,12 +850,13 @@ def encode_api0_p010_pipelined(jr, imgs, quality: int = 95,
     i = 0
     while i < len(imgs):
         chunk, wires = [imgs[i]], [get_wire(i)]
-        if wires[0] is not None:
+        if wires[0][0] is not None:
             j = i + 1
             while (j < len(imgs) and len(chunk) < batch_k
                    and uniform(imgs[j], imgs[i])):
                 w = get_wire(j)
-                if w is None:
+                # a chunk shares one program: same wire mode required
+                if w[0] is None or w[1] != wires[0][1]:
                     break
                 chunk.append(imgs[j])
                 wires.append(w)
@@ -835,16 +906,18 @@ def _dispatch_api0_p010(jr, img, quality: int, wire=_WIRE_UNSET):
                   multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
                   quality=int(quality), map_quality=jr.map_compress_quality,
                   use_base_cg=use_base_cg)
-    # wire format: delta7 bit-sliced pack (~7 bits/sample; the upload link
+    # wire format: delta bit-sliced pack (4-7 bits/sample; the upload link
     # binds the pipeline), coalesced into ONE u32 buffer per image (the
     # link also pays a fixed latency per transfer), with dense 10-bit
-    # fallback when the 7-bit delta escape list overflows
-    # (non-photographic content).  The link does not compress transfers
-    # dependably, so fewer raw bytes wins.
+    # fallback when the delta escape lists overflow (non-photographic
+    # content).  The link does not compress transfers dependably, so fewer
+    # raw bytes wins.
     if wire is _WIRE_UNSET:
-        wire = pack_delta7_wire(img.planes[0], img.planes[1])
-    if wire is not None:
-        out = _fused_api0_p010_delta7(jnp.asarray(wire), **common)
+        wire = _pack_wire_auto(img.planes[0], img.planes[1])
+    buf, mode = wire if wire is not None else (None, None)
+    if buf is not None:
+        out = _fused_api0_p010_delta7(jnp.asarray(buf), wire_2d=mode[0],
+                                      wire_bits=mode[1], **common)
     else:
         y_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[0]))
         uv_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[1]))
@@ -1065,69 +1138,56 @@ def _assemble_api0_p010(jr, img, quality: int, exif: bytes | None,
 _BATCH_K = 4
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "k", "h", "w", "cg", "ct", "rng", "scale", "multichannel", "gamma",
-    "quality", "map_quality", "use_base_cg"))
-def _fused_api0_p010_delta7_batch(bufs, *, k: int, h: int, w: int,
-                                  cg: ColorGamut, ct: ColorTransfer,
-                                  rng: ColorRange, scale: int,
-                                  multichannel: bool, gamma: float,
-                                  quality: int, map_quality: int,
-                                  use_base_cg: bool):
-    """K-image fused API-0 on stacked delta7 wire buffers.
+@jax.jit
+def _stitch_image_streams(words_tuple, blen_tuple):
+    """Stitch k per-image compacted word buffers into ONE contiguous
+    device buffer: image i's live prefix (total_words_v2(blen_i) words)
+    lands at the sum of the previous images' live counts.  Each
+    dynamic_update_slice writes the full per-image budget; stitch order
+    guarantees later writes only clobber earlier GARBAGE tails (the
+    pack_kernel.stitch_tiles invariant at image granularity).
 
-    Per-image stages run under lax.scan over the batch (NOT vmap: the
-    packer's unrolled shift-or trees explode vmap's compile time ~10x,
-    and a scan loses no parallelism on one chip); ONE shared compaction
-    lays every image's base+gainmap streams back-to-back, so a whole
-    batch drains with one tiny (blens) and one bulk (words) d2h — the
-    transfer count per image drops from ~5 to ~3/k, which matters on a
-    link with ~40 ms fixed latency per transfer."""
-    o = _delta7_wire_layout(h, w)
-
-    def per_image(_, buf):
-        yw = buf[o[0]:o[1]].reshape(-1, 7)
-        uvw = buf[o[1]:o[2]].reshape(-1, 7)
-        yei = jax.lax.bitcast_convert_type(buf[o[2]:o[3]], jnp.int32)
-        yev = jax.lax.bitcast_convert_type(buf[o[3]:o[4]],
-                                           jnp.int16).reshape(-1)
-        uvei = jax.lax.bitcast_convert_type(buf[o[4]:o[5]], jnp.int32)
-        uvev = jax.lax.bitcast_convert_type(buf[o[5]:o[6]],
-                                            jnp.int16).reshape(-1)
-        y = _delta7_decode_plane(yw, yei, yev, h, w, False)
-        uv = _delta7_decode_plane(uvw, uvei, uvev, h // 2, w, True)
-        scans = _api0_p010_block_buffers(
-            y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
-            multichannel=multichannel, gamma=gamma, quality=quality,
-            map_quality=map_quality, use_base_cg=use_base_cg)
-        return 0, (scans[0][0], scans[0][1], scans[1][0], scans[1][1])
-
-    _, (bbb, blb, bbg, blg) = jax.lax.scan(per_image, 0, bufs)
-    nb, ng = bbb.shape[1], bbg.shape[1]
-    cap = bbb.shape[2]
-    bb = jnp.concatenate([bbb, bbg], axis=1).reshape(k * (nb + ng), cap)
-    blen = jnp.concatenate([blb, blg], axis=1).reshape(-1)
-    w_out = k * (nb * device_entropy._default_budget(nb)
-                 + ng * device_entropy._default_budget(ng))
-    words = device_entropy._compact_blocks(bb, blen, w_out)
-    return words, blen.astype(jnp.uint16)
+    This replaces the former monolithic K-image lax.scan program: the
+    per-image program is already compiled, and this glue jit compiles in
+    seconds, so K-batching no longer pays a pathological (>45 min at 4K)
+    batch-program compile through the remote-compile attachment."""
+    total = sum(w.shape[0] for w in words_tuple)
+    buf = jnp.zeros((total,), jnp.uint32)
+    off = jnp.int32(0)
+    for wds, bl in zip(words_tuple, blen_tuple):
+        live = jnp.sum((bl.astype(jnp.int32) + 31) >> 5, dtype=jnp.int32)
+        buf = jax.lax.dynamic_update_slice(buf, wds, (off,))
+        off = off + live
+    return buf, jnp.concatenate([b.astype(jnp.uint16) for b in blen_tuple])
 
 
 def _dispatch_api0_p010_batch(jr, imgs, quality: int, wires):
     """Upload + dispatch a uniform batch of pre-packed delta7 wire buffers
-    (the caller guarantees uniformity and packs each wire exactly once)."""
+    (the caller guarantees uniformity and packs each wire exactly once).
+
+    ONE stacked upload, k dispatches of the per-image fused program
+    (device-side row slices of the upload), and one stitch program that
+    lays every image's base+gainmap streams back-to-back — the whole
+    batch then drains with one tiny (blens) and one bulk (words) d2h, so
+    the transfer count per image drops from ~3 to ~3/k on a link with
+    ~40 ms fixed latency per transfer."""
     img0 = imgs[0]
     cg, ct = ColorGamut(img0.cg), ColorTransfer(img0.ct)
     rng = ColorRange(img0.range)
     scale = _resolve_scale(jr, img0)
     use_base_cg = (cg != ColorGamut.BT2100) or jr.write_xmp
-    out = _fused_api0_p010_delta7_batch(
-        jnp.asarray(np.stack(wires)), k=len(imgs), h=img0.h, w=img0.w,
-        cg=cg, ct=ct, rng=rng, scale=scale,
-        multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
-        quality=int(quality), map_quality=jr.map_compress_quality,
-        use_base_cg=use_base_cg)
-    return out + (scale, use_base_cg)
+    mode = wires[0][1]                  # chunk-uniform (pipelined checks)
+    common = dict(h=img0.h, w=img0.w, cg=cg, ct=ct, rng=rng, scale=scale,
+                  multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
+                  quality=int(quality), map_quality=jr.map_compress_quality,
+                  use_base_cg=use_base_cg, wire_2d=mode[0],
+                  wire_bits=mode[1])
+    bufs = jnp.asarray(np.stack([b for b, _ in wires]))
+    per = [_fused_api0_p010_delta7(bufs[i], **common)
+           for i in range(len(imgs))]
+    words, blen_all = _stitch_image_streams(tuple(w for w, _ in per),
+                                            tuple(b for _, b in per))
+    return words, blen_all, scale, use_base_cg
 
 
 def _drain_api0_p010_batch(jr, imgs, quality: int, exif, words, blen_all_d,
@@ -1140,9 +1200,15 @@ def _drain_api0_p010_batch(jr, imgs, quality: int, exif, words, blen_all_d,
     bl, gl = _api0_layouts(jr, img0.h, img0.w, scale)
     n_base, n_gm = bl.mcus_h * bl.bpr, gl.mcus_h * gl.bpr
     per = n_base + n_gm
+    img_budget = words.shape[0] // k     # uniform chunk: equal per-image cut
     parts = []
     for i in range(k):
         seg = blen_all[i * per:(i + 1) * per]
+        need = device_entropy.total_words_v2(seg)
+        if need > img_budget:
+            # the per-image program truncated this image's stream on device
+            raise device_entropy.PackOverflowError(
+                f"image {i} needs {need} words > budget {img_budget}")
         parts += [(seg[:n_base], bl.bpr), (seg[n_base:], gl.bpr)]
     with stage("encode.fetch_scans"):
         scans = fetch_blocks_multi(words, parts)

@@ -194,59 +194,70 @@ void uhdr_pack_p010_10bit(const uint16_t* in, int64_t n, uint16_t* out) {
 //
 // Returns the escape count, or -1 when it exceeds esc_cap (caller falls
 // back to the dense 10-bit pack).
-int64_t uhdr_pack_delta7(const uint16_t* in, int64_t rows, int64_t cols,
-                         int uv_interleaved, uint32_t* out_words,
-                         int32_t* esc_idx, int16_t* esc_val,
-                         int64_t esc_cap) {
+// Generalized wire: configurable code width `bits` (4..8) and an optional
+// 2D predictor.  two_d=0 reproduces the original delta7 semantics; two_d=1
+// first removes the vertical delta (t[r,c] = v[r,c] - v[r-1,c], row 0
+// against 512), then the horizontal delta of t (per channel for UV), which
+// whitens smooth gradients so photographic content fits 4-5 bits.  The
+// device reconstructs with a column cumsum then a row cumsum (fused.py
+// _delta_decode_plane).  Escapes store the true horizontal delta.
+int64_t uhdr_pack_delta(const uint16_t* in, int64_t rows, int64_t cols,
+                        int uv_interleaved, int two_d, int bits,
+                        uint32_t* out_words, int32_t* esc_idx,
+                        int16_t* esc_val, int64_t esc_cap) {
+  if (bits < 2 || bits > 8) return -2;
   int64_t n = rows * cols;
-  std::vector<uint8_t> codes(((n + 31) / 32) * 32, 64);
+  const int32_t offs = 1 << (bits - 1);
+  const uint32_t lim = (1u << bits) - 1u;
+  std::vector<uint8_t> codes(((n + 31) / 32) * 32, (uint8_t)offs);
+  std::vector<int32_t> prev_row;
+  if (two_d) prev_row.assign((size_t)cols, 512);
   int64_t n_esc = 0;
   for (int64_t r = 0; r < rows; r++) {
     const uint16_t* src = in + r * cols;
     uint8_t* dst = codes.data() + r * cols;
-    int32_t prev0 = 512, prev1 = 512;
-    if (uv_interleaved) {
-      for (int64_t c = 0; c < cols; c++) {
-        int32_t v = src[c] >> 6;
-        int32_t& prev = (c & 1) ? prev1 : prev0;
-        int32_t d = v - prev;
-        prev = v;
-        int32_t s = d + 64;
-        if ((uint32_t)s <= 127u) {
-          dst[c] = (uint8_t)s;
-        } else {
-          if (n_esc >= esc_cap) return -1;
-          esc_idx[n_esc] = (int32_t)(r * cols + c);
-          esc_val[n_esc++] = (int16_t)d;
-        }
+    // 1D: predictor starts at 512 per row; 2D: horizontal predictor of the
+    // vertically-differenced samples starts at 0 per row
+    int32_t prev0 = two_d ? 0 : 512, prev1 = prev0;
+    for (int64_t c = 0; c < cols; c++) {
+      int32_t v = src[c] >> 6;
+      int32_t t = v;
+      if (two_d) {
+        t = v - prev_row[(size_t)c];
+        prev_row[(size_t)c] = v;
       }
-    } else {
-      for (int64_t c = 0; c < cols; c++) {
-        int32_t v = src[c] >> 6;
-        int32_t d = v - prev0;
-        prev0 = v;
-        int32_t s = d + 64;
-        if ((uint32_t)s <= 127u) {
-          dst[c] = (uint8_t)s;
-        } else {
-          if (n_esc >= esc_cap) return -1;
-          esc_idx[n_esc] = (int32_t)(r * cols + c);
-          esc_val[n_esc++] = (int16_t)d;
-        }
+      int32_t& prev = (uv_interleaved && (c & 1)) ? prev1 : prev0;
+      int32_t d = t - prev;
+      prev = t;
+      int32_t s = d + offs;
+      if ((uint32_t)s <= lim) {
+        dst[c] = (uint8_t)s;
+      } else {
+        if (n_esc >= esc_cap) return -1;
+        esc_idx[n_esc] = (int32_t)(r * cols + c);
+        esc_val[n_esc++] = (int16_t)d;
       }
     }
   }
   int64_t groups = (n + 31) / 32;
   for (int64_t g = 0; g < groups; g++) {
     const uint8_t* s = codes.data() + g * 32;
-    uint32_t w[7] = {0, 0, 0, 0, 0, 0, 0};
+    uint32_t w[8] = {0, 0, 0, 0, 0, 0, 0, 0};
     for (int i = 0; i < 32; i++) {
       uint32_t c = s[i];
-      for (int j = 0; j < 7; j++) w[j] |= ((c >> j) & 1u) << i;
+      for (int j = 0; j < bits; j++) w[j] |= ((c >> j) & 1u) << i;
     }
-    for (int j = 0; j < 7; j++) out_words[g * 7 + j] = w[j];
+    for (int j = 0; j < bits; j++) out_words[g * bits + j] = w[j];
   }
   return n_esc;
+}
+
+int64_t uhdr_pack_delta7(const uint16_t* in, int64_t rows, int64_t cols,
+                         int uv_interleaved, uint32_t* out_words,
+                         int32_t* esc_idx, int16_t* esc_val,
+                         int64_t esc_cap) {
+  return uhdr_pack_delta(in, rows, cols, uv_interleaved, 0, 7, out_words,
+                         esc_idx, esc_val, esc_cap);
 }
 
 // Finalize a device-packed scan: byte-stuff each restart row and join rows
@@ -332,7 +343,19 @@ int64_t uhdr_join_blocks(const uint32_t* words, const uint16_t* len_bits,
     }
     wpos += nw;
     if ((b + 1) % blocks_per_row == 0) {
-      if (accbits != 0) return -2;
+      if (accbits != 0) {
+        // byte-align the restart row with 1-bits (T.81 F.1.2.3).  Device
+        // packers may emit rows unpadded (the v3 kernel) or pre-padded
+        // (the XLA tree, which lands here with accbits == 0) — the final
+        // bytes are identical either way.
+        int pad = 8 - accbits;
+        uint8_t c = (uint8_t)(((acc << pad) | ((1u << pad) - 1)) & 0xFF);
+        if (o + 2 > capacity) return -1;
+        out[o++] = c;
+        if (c == 0xFF) out[o++] = 0x00;
+        accbits = 0;
+        acc = 0;
+      }
       if (b + 1 != n_blocks) {
         if (o + 2 > capacity) return -1;
         out[o++] = 0xFF;

@@ -185,13 +185,27 @@ def _interleave_stream(per_comp, layout: ScanLayout):
 
 @functools.lru_cache(maxsize=4)
 def _packed_ac_lut(chroma: bool):
-    """(256,) f32 AC table with code*32+len packed (<=21 bits, f32-exact) —
-    consumed by a one-hot matmul, the TPU-idiomatic small-table lookup
-    (a 12M-element jnp.take from a 256-entry table costs ~10 ns/element on
-    the XLA TPU gather lowering; the MXU one-hot dot is ~10x cheaper)."""
+    """(256,) u32 AC table with code*32+len packed (<=21 bits)."""
     t = AC_CHROMA if chroma else AC_LUMA
     return (np.asarray(t.code_of, np.uint32) * 32
-            + np.asarray(t.size_of, np.uint32)).astype(np.float32)
+            + np.asarray(t.size_of, np.uint32))
+
+
+def _lut256(sym, table_u32: np.ndarray):
+    """256-entry table lookup as an unrolled OR-of-selects.
+
+    The alternatives lose on the XLA TPU lowerings: jnp.take gathers cost
+    ~10 ns/element (~120 ms for the 12M AC symbols of a 4K frame), and the
+    one-hot MXU dot materializes the (N, 256) f32 one-hot in HBM (~12.5 GB
+    of traffic at 4K).  The select-sum stays elementwise, XLA fuses the
+    terms into one pass, and only the live table entries (~162 of 256 in
+    the Annex K AC tables) emit a term."""
+    acc = jnp.zeros(sym.shape, jnp.uint32)
+    for s in range(256):
+        v = int(table_u32[s])
+        if v:
+            acc = acc | jnp.where(sym == s, jnp.uint32(v), jnp.uint32(0))
+    return acc
 
 
 def _slot_symbols(coeff_planes, layout: ScanLayout):
@@ -246,9 +260,7 @@ def _slot_symbols(coeff_planes, layout: ScanLayout):
         run = (k - prev_nz - 1) % 16
         asize = _bit_size(ac)
         sym = jnp.where(nz, (run << 4) | asize, 0)
-        oh = jax.nn.one_hot(sym.reshape(-1, 63), 256, dtype=jnp.float32)
-        v = (oh @ jnp.asarray(_packed_ac_lut(bool(t)))).astype(jnp.uint32)
-        v = v.reshape(sym.shape)
+        v = _lut256(sym, _packed_ac_lut(bool(t)))
         acode, aclen = v >> 5, (v & 31).astype(jnp.int32)
         abits = _value_bits(ac, asize)
         zrl_pay = jnp.uint32(ac_code[t, 0xF0])    # constants per plane
@@ -532,6 +544,32 @@ def _compact_blocks(bb, blen, w_out: int):
     return jnp.take(bb.reshape(-1), flat_idx)
 
 
+def use_pack_kernel() -> bool:
+    """Stage-2 engine select: the Mosaic/Pallas kernel (pack_kernel.py) on
+    accelerators, the XLA tree on CPU (where Mosaic doesn't run compiled).
+    UHDR_TPU_PACK_KERNEL=0 forces the XLA path everywhere."""
+    import os
+    if os.environ.get("UHDR_TPU_PACK_KERNEL", "1") == "0":
+        return False
+    return jax.default_backend() != "cpu"
+
+
+def block_buffers_t(coeff_planes, layout: ScanLayout):
+    """Engine-dispatched stage 1+2 (+3 on the kernel engine).
+
+    Kernel engine (accelerators): returns (tiles (n_tiles, tile_budget),
+    live (n_tiles,), blen) from the fused Pallas pack+compact kernel.
+    XLA engine (CPU): returns (bb_t (54, n_blocks), blen) in the
+    blocks-in-lanes layout for compact_blocks_t.  compact_scans accepts
+    either; bit content of the live stream is engine-independent
+    (tests/test_pack_kernel.py)."""
+    if use_pack_kernel():
+        from . import pack_kernel
+        return pack_kernel.pack_scan_tiles(coeff_planes, layout)
+    bb, blen = _block_buffers(coeff_planes, layout)
+    return bb.T, blen
+
+
 def pack_scan_device_v2(coeff_planes, layout: ScanLayout,
                         budget_words_per_block: int | None = None):
     """Pack an interleaved baseline scan on device, scatter-free.
@@ -547,8 +585,13 @@ def pack_scan_device_v2(coeff_planes, layout: ScanLayout,
     n_blocks = layout.mcus_h * layout.bpr
     if budget_words_per_block is None:
         budget_words_per_block = _default_budget(n_blocks)
+    from . import pack_kernel
+    if use_pack_kernel():
+        return pack_kernel.pack_scan_device_kernel(
+            coeff_planes, layout, budget_words_per_block)
     bb, blen = _block_buffers(coeff_planes, layout)
-    out_words = _compact_blocks(bb, blen, n_blocks * budget_words_per_block)
+    out_words = pack_kernel.compact_blocks_t(
+        bb.T, blen, n_blocks * budget_words_per_block)
     return out_words, blen.astype(jnp.uint16)
 
 
@@ -558,15 +601,21 @@ def compact_scans(scans):
     streams download as one d2h prefix of total_words_v2(concat(blens))
     words.
 
-    scans: list of (bb, blen) from _block_buffers — possibly spanning
-    several images (batched encode).  Returns (out_words, [blen u16 per
-    scan]); the host splits the downloaded prefix at each scan's
+    scans: block_buffers_t outputs — kernel-engine (tiles, live, blen)
+    triples or XLA-engine (bb_t, blen) pairs — possibly spanning several
+    images (batched encode).  Returns (out_words, [blen u16 per scan]);
+    the host splits the downloaded prefix at each scan's
     total_words_v2(blen)."""
+    from . import pack_kernel
+    if len(scans[0]) == 3:
+        out_words = pack_kernel.stitch_tiles(
+            [(tiles, live) for tiles, live, _ in scans])
+        return out_words, [b.astype(jnp.uint16) for _, _, b in scans]
     bbs = [bb for bb, _ in scans]
     blens = [bl for _, bl in scans]
-    w_out = sum(bb.shape[0] * _default_budget(bb.shape[0]) for bb in bbs)
-    out_words = _compact_blocks(jnp.concatenate(bbs, axis=0),
-                                jnp.concatenate(blens), w_out)
+    w_out = sum(bb.shape[1] * _default_budget(bb.shape[1]) for bb in bbs)
+    out_words = pack_kernel.compact_blocks_t(jnp.concatenate(bbs, axis=1),
+                                             jnp.concatenate(blens), w_out)
     return out_words, [b.astype(jnp.uint16) for b in blens]
 
 

@@ -67,6 +67,12 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_pack_delta.restype = ctypes.c_int64
+            lib.uhdr_pack_delta.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64]
             lib.uhdr_stuff_scan.restype = ctypes.c_int64
             lib.uhdr_stuff_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
@@ -218,35 +224,47 @@ def pack_p010_10bit(arr: np.ndarray) -> np.ndarray:
 DELTA7_ESC_CAP = 65536
 
 
-def pack_delta7_into(plane: np.ndarray, uv_interleaved: bool,
-                     words: np.ndarray, esc_idx: np.ndarray,
-                     esc_val: np.ndarray) -> bool:
-    """Delta + 7-bit bit-sliced wire packing of a P010 plane (the upload
-    codec; see uhdr_pack_delta7 in jpeg_entropy.cpp), written into
-    caller-provided buffers (typically views into one coalesced wire
-    buffer, fused.pack_delta7_wire).  False when the escape list
-    overflows (caller uses the dense 10-bit pack instead)."""
+def pack_delta_into(plane: np.ndarray, uv_interleaved: bool,
+                    words: np.ndarray, esc_idx: np.ndarray,
+                    esc_val: np.ndarray, *, two_d: bool = False,
+                    bits: int = 7) -> bool:
+    """Delta + bit-sliced wire packing of a P010 plane (the upload codec;
+    see uhdr_pack_delta in jpeg_entropy.cpp), written into caller-provided
+    buffers (typically views into one coalesced wire buffer,
+    fused.pack_delta_wire).  two_d removes the vertical delta first
+    (photographic content then fits 4-5 bits/sample).  False when the
+    escape list overflows (caller falls back to a wider wire)."""
     lib = get_lib()
     p = np.ascontiguousarray(plane, np.uint16)
     rows, cols = p.shape
     esc_idx[:] = np.int32(1 << 30)      # pad target: dropped by the scatter
     esc_val[:] = 0
-    n_esc = lib.uhdr_pack_delta7(p.ctypes.data, rows, cols,
-                                 int(bool(uv_interleaved)),
-                                 words.ctypes.data, esc_idx.ctypes.data,
-                                 esc_val.ctypes.data, DELTA7_ESC_CAP)
+    n_esc = lib.uhdr_pack_delta(p.ctypes.data, rows, cols,
+                                int(bool(uv_interleaved)), int(bool(two_d)),
+                                int(bits), words.ctypes.data,
+                                esc_idx.ctypes.data, esc_val.ctypes.data,
+                                DELTA7_ESC_CAP)
     return n_esc >= 0
 
 
-def pack_delta7(plane: np.ndarray, uv_interleaved: bool):
-    """Standalone variant of pack_delta7_into: returns (words (n32,7) u32,
-    esc_idx (CAP,) i32, esc_val (CAP,) i16) or None on escape overflow."""
+def pack_delta7_into(plane: np.ndarray, uv_interleaved: bool,
+                     words: np.ndarray, esc_idx: np.ndarray,
+                     esc_val: np.ndarray) -> bool:
+    """pack_delta_into at the 1D/7-bit default (the original delta7)."""
+    return pack_delta_into(plane, uv_interleaved, words, esc_idx, esc_val)
+
+
+def pack_delta7(plane: np.ndarray, uv_interleaved: bool, *,
+                two_d: bool = False, bits: int = 7):
+    """Standalone variant of pack_delta_into: returns (words (n32,bits)
+    u32, esc_idx (CAP,) i32, esc_val (CAP,) i16) or None on overflow."""
     rows, cols = plane.shape
     n32 = -(-(rows * cols) // 32)
-    words = np.empty((n32, 7), np.uint32)
+    words = np.empty((n32, bits), np.uint32)
     esc_idx = np.empty(DELTA7_ESC_CAP, np.int32)
     esc_val = np.empty(DELTA7_ESC_CAP, np.int16)
-    if not pack_delta7_into(plane, uv_interleaved, words, esc_idx, esc_val):
+    if not pack_delta_into(plane, uv_interleaved, words, esc_idx, esc_val,
+                           two_d=two_d, bits=bits):
         return None
     return words, esc_idx, esc_val
 

@@ -292,6 +292,10 @@ def assemble_sharded_scan(words: np.ndarray, blen: np.ndarray,
         if need > words.shape[1]:
             raise device_entropy.PackOverflowError(
                 f"shard {s} needs {need} words > budget {words.shape[1]}")
+        if device_entropy.use_pack_kernel():
+            from ..jpeg import pack_kernel
+            pack_kernel.check_tile_budgets(
+                blen[s], device_entropy._default_budget(blen[s].size))
         parts.append(words[s, :need])
     return native.join_blocks(np.concatenate(parts), blen.reshape(-1), bpr)
 

@@ -84,6 +84,62 @@ def test_batched_pipeline_matches_single(monkeypatch):
     assert batched == singles
 
 
+@pytest.mark.parametrize("two_d,bits", [(True, 5), (True, 6), (True, 4),
+                                        (False, 6), (True, 8)])
+def test_delta_roundtrip_modes(two_d, bits):
+    """Generalized wire (2D predictor / variable code width) is lossless
+    through pack -> device decode for every supported mode."""
+    plane = _smooth_plane(H, W, seed=6)
+    packed = native.pack_delta7(plane, False, two_d=two_d, bits=bits)
+    assert packed is not None
+    words, ei, ev = packed
+    out = fused._delta_decode_plane(
+        jnp.asarray(words), jnp.asarray(ei), jnp.asarray(ev), H, W, False,
+        bits, two_d)
+    np.testing.assert_array_equal(np.asarray(out), plane & np.uint16(0xFFC0))
+    # interleaved UV with distinct per-channel gradients
+    u = _smooth_plane(H // 2, W // 2, seed=7, edges=False)
+    v = _smooth_plane(H // 2, W // 2, seed=8)
+    uv = np.empty((H // 2, W), np.uint16)
+    uv[:, 0::2] = u
+    uv[:, 1::2] = v
+    packed = native.pack_delta7(uv, True, two_d=two_d, bits=bits)
+    assert packed is not None
+    words, ei, ev = packed
+    out = fused._delta_decode_plane(
+        jnp.asarray(words), jnp.asarray(ei), jnp.asarray(ev),
+        H // 2, W, True, bits, two_d)
+    np.testing.assert_array_equal(np.asarray(out), uv & np.uint16(0xFFC0))
+
+
+def test_fused_encode_identical_across_wire_modes(monkeypatch):
+    """UHDR_TPU_WIRE is byte-invisible: fused API-0 output is identical
+    through the 2d5 wire and the default 1d7 wire."""
+    y = _smooth_plane(H, W, seed=30)
+    uv = _smooth_plane(H // 2, W, seed=31, edges=False)
+    img = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, W, H, [y, uv])
+    jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
+               preset=EncPreset.REALTIME)
+    monkeypatch.setenv("UHDR_TPU_WIRE", "1d7")
+    via_1d7 = jr.encode_api0(img, quality=92)
+    monkeypatch.setenv("UHDR_TPU_WIRE", "2d5")
+    assert fused._wire_mode() == (True, 5)
+    via_2d5 = jr.encode_api0(img, quality=92)
+    assert via_2d5 == via_1d7
+
+
+def test_wire_mode_parse(monkeypatch):
+    monkeypatch.setenv("UHDR_TPU_WIRE", "2d6")
+    assert fused._wire_mode() == (True, 6)
+    monkeypatch.setenv("UHDR_TPU_WIRE", "1d7")
+    assert fused._wire_mode() == (False, 7)
+    monkeypatch.setenv("UHDR_TPU_WIRE", "garbage")
+    assert fused._wire_mode() == (False, 7)
+    monkeypatch.delenv("UHDR_TPU_WIRE")
+    assert fused._wire_mode() == (True, 5)
+
+
 def test_fused_encode_identical_across_wire_paths(monkeypatch):
     """The wire codec must be invisible: fused API-0 bytes are identical
     whether the input travelled delta7-packed or dense-10-bit-packed."""
