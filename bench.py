@@ -67,6 +67,13 @@ def make_scene(w, h, seed=11, phase=0.0):
     return yp, uvp
 
 
+def _ping(dev_arr):
+    """One tiny dependent d2h fetch: the link's fixed round-trip latency."""
+    t0 = time.perf_counter()
+    np.asarray(dev_arr[:1])
+    return time.perf_counter() - t0
+
+
 def main():
     from libultrahdr_tpu.fused import encode_api0_p010_pipelined
     from libultrahdr_tpu.jpegr import JpegR
@@ -139,6 +146,45 @@ def main():
         ddev_times.append(time.perf_counter() - t0)
     dec_dev_mpps = W * H / 1e6 / statistics.median(ddev_times)
 
+    # ---- batched device-resident decode (one upload/program per K) ----
+    res = d.decode_to_device_batch(outs, output_ct=ColorTransfer.HLG)
+    np.asarray(res[-1][0][:1, :4])      # warm the K-sized vmapped program
+    dbatch_times = []
+    for _ in range(max(2, DEC_REPS // 2)):
+        t0 = time.perf_counter()
+        res = d.decode_to_device_batch(outs, output_ct=ColorTransfer.HLG)
+        np.asarray(res[-1][0][:1, :4])
+        dbatch_times.append((time.perf_counter() - t0) / len(outs))
+    dec_batch_mpps = W * H / 1e6 / statistics.median(dbatch_times)
+
+    # ---- device-compute probe: the full fused API-0 program on a
+    # device-RESIDENT wire buffer (one upload up front), synced by a tiny
+    # 4-word fetch.  Link-independent up to one fetch latency, which is
+    # measured separately (ping) and subtracted.
+    from libultrahdr_tpu import fused as fmod
+    from libultrahdr_tpu.types import ColorGamut as CG
+    im0 = imgs[0]
+    wire, mode = fmod._pack_wire_auto(im0.planes[0], im0.planes[1])
+    dc_times = []
+    if wire is not None:
+        import jax.numpy as jnp
+        buf_dev = jax.device_put(jnp.asarray(wire))
+        np.asarray(buf_dev[:1])
+        ping = min(_ping(buf_dev) for _ in range(5))
+        common = dict(h=H, w=W, cg=CG.BT2100, ct=ColorTransfer.HLG,
+                      rng=ColorRange.FULL, scale=4, multichannel=False,
+                      gamma=1.0, quality=95, map_quality=jr.map_compress_quality,
+                      use_base_cg=False, wire_2d=mode[0], wire_bits=mode[1],
+                      wire_cap=mode[2])
+        words, _bl = fmod._fused_api0_p010_delta7(buf_dev, **common)
+        np.asarray(words[:4])
+        for _ in range(5):
+            t0 = time.perf_counter()
+            words, _bl = fmod._fused_api0_p010_delta7(buf_dev, **common)
+            np.asarray(words[:4])
+            dc_times.append(time.perf_counter() - t0 - ping)
+    dev_ms = statistics.median(dc_times) * 1e3 if dc_times else None
+
     print(json.dumps({
         "metric": "api0_encode_4k_p010_hlg",
         "value": round(enc_mpps, 3),
@@ -151,6 +197,12 @@ def main():
             "decode_device_4k_hlg_mpps": round(dec_dev_mpps, 3),
             "decode_device_vs_baseline": round(
                 dec_dev_mpps / REF_DECODE_4K_MPPS, 3),
+            "decode_device_batch8_4k_hlg_mpps": round(dec_batch_mpps, 3),
+            "encode_device_compute_4k_ms": (round(dev_ms, 1)
+                                            if dev_ms else None),
+            "encode_device_compute_4k_mpps": (round(W * H / 1e6
+                                                    / (dev_ms / 1e3), 2)
+                                              if dev_ms else None),
             "encode_reps": ENC_REPS, "decode_reps": DEC_REPS,
             "stat": "median", "link_h2d_mbps": round(h2d, 1),
         },

@@ -156,12 +156,14 @@ def _delta7_decode_plane(words, esc_idx, esc_val, h: int, w: int,
                                uv_interleaved)
 
 
-def _delta_wire_layout(h: int, w: int, bits: int = 7):
+def _delta_wire_layout(h: int, w: int, bits: int = 7,
+                       cap: int = native.DELTA7_ESC_CAP):
     """Word offsets of the single-buffer delta upload: [y words][uv words]
     [y esc_idx i32][y esc_val i16][uv esc_idx][uv esc_val], all in one u32
     buffer so each image costs ONE h2d transfer (the tunnel link pays a
-    fixed latency per transfer)."""
-    cap = native.DELTA7_ESC_CAP
+    fixed latency per transfer).  `cap` is the per-plane escape capacity
+    (part of the static wire mode: a small cap saves 6*cap bytes/plane
+    on content with few escapes)."""
     ny = -(-(h * w) // 32) * bits
     nuv = -(-((h // 2) * w) // 32) * bits
     offs = [0, ny, ny + nuv]
@@ -176,31 +178,44 @@ def _delta7_wire_layout(h: int, w: int):
     return _delta_wire_layout(h, w, 7)
 
 
-def _wire_mode() -> tuple[bool, int]:
-    """Upload wire mode from UHDR_TPU_WIRE: '2d5' (default; 2D predictor +
-    5-bit codes, ~27% fewer wire bytes than 1d7 — photographic content
-    measures <1% escapes), '1d7' (the original delta7), or any '1dN'/'2dN'
-    with N in 2..8.  Non-default modes fall back per image to 1d7 and then
-    to the dense 10-bit pack when escapes overflow, so the mode is a pure
-    perf knob (wire choice is byte-invisible in the output)."""
+# wire mode = (two_d, bits, esc_cap).  The auto ladder tries the smallest
+# wire first; each rung is its own compiled program variant, but a given
+# content type settles on one rung (photographic: the first).
+_WIRE_1D7 = (False, 7, native.DELTA7_ESC_CAP)
+_WIRE_LADDER = ((True, 4, 8192), (True, 5, 8192),
+                (True, 6, native.DELTA7_ESC_CAP), _WIRE_1D7)
+
+
+def _wire_mode():
+    """Upload wire mode from UHDR_TPU_WIRE: 'auto' (default; try the
+    ladder 2d4/8k -> 2d5/8k -> 2d6 -> 1d7, smallest wire that fits wins),
+    '1d7' (the original delta7), or any '1dN'/'2dN' with N in 2..8.
+    Escape-overflow falls through the ladder and finally to the dense
+    10-bit pack, so the mode is a pure perf knob (wire choice is
+    byte-invisible in the output).  Returns a tuple of candidate modes."""
     import os
-    m = os.environ.get("UHDR_TPU_WIRE", "2d5").strip().lower()
+    m = os.environ.get("UHDR_TPU_WIRE", "auto").strip().lower()
+    if m == "auto":
+        return _WIRE_LADDER
     try:
         two_d = m[0] == "2"
         bits = int(m[2:])
         if m[1] != "d" or not 2 <= bits <= 8:
             raise ValueError(m)
     except (ValueError, IndexError):
-        return False, 7
-    return two_d, bits
+        return (_WIRE_1D7,)
+    if (two_d, bits) == (False, 7):
+        return (_WIRE_1D7,)
+    return ((two_d, bits, native.DELTA7_ESC_CAP), _WIRE_1D7)
 
 
 def pack_delta_wire(y_plane: np.ndarray, uv_plane: np.ndarray,
-                    two_d: bool = False, bits: int = 7):
+                    two_d: bool = False, bits: int = 7,
+                    cap: int = native.DELTA7_ESC_CAP):
     """Host half: pack both P010 planes + escape lists into one u32 wire
     buffer (see _delta_wire_layout); None when escapes overflow."""
     h, w = y_plane.shape
-    o = _delta_wire_layout(h, w, bits)
+    o = _delta_wire_layout(h, w, bits, cap)
     buf = np.empty(o[-1], np.uint32)
     ok = native.pack_delta_into(
         y_plane, False, buf[o[0]:o[1]].reshape(-1, bits),
@@ -217,36 +232,39 @@ def pack_delta_wire(y_plane: np.ndarray, uv_plane: np.ndarray,
 
 
 def pack_delta7_wire(y_plane: np.ndarray, uv_plane: np.ndarray):
-    """The 1d7 wire pack (kept monkeypatchable as the default-mode step
+    """The 1d7 wire pack (kept monkeypatchable as the last delta rung
     of _pack_wire_auto)."""
     return pack_delta_wire(y_plane, uv_plane)
 
 
 def _pack_wire_auto(y_plane: np.ndarray, uv_plane: np.ndarray):
-    """Pack with the configured wire mode, falling back to 1d7: returns
-    (wire_buf, (two_d, bits)) or (None, None) -> dense 10-bit path."""
-    mode = _wire_mode()
-    if mode != (False, 7):
-        buf = pack_delta_wire(y_plane, uv_plane, *mode)
+    """Pack with the first wire mode that fits: returns
+    (wire_buf, (two_d, bits, cap)) or (None, None) -> dense 10-bit."""
+    for mode in _wire_mode():
+        if mode == _WIRE_1D7:
+            buf = pack_delta7_wire(y_plane, uv_plane)   # monkeypatchable
+        else:
+            buf = pack_delta_wire(y_plane, uv_plane, *mode)
         if buf is not None:
             return buf, mode
-    buf = pack_delta7_wire(y_plane, uv_plane)
-    return (buf, (False, 7)) if buf is not None else (None, None)
+    return None, None
 
 
 @functools.partial(jax.jit, static_argnames=(
     "h", "w", "cg", "ct", "rng", "scale", "multichannel", "gamma",
-    "quality", "map_quality", "use_base_cg", "wire_2d", "wire_bits"))
+    "quality", "map_quality", "use_base_cg", "wire_2d", "wire_bits",
+    "wire_cap"))
 def _fused_api0_p010_delta7(buf, *, h: int, w: int,
                             cg: ColorGamut, ct: ColorTransfer,
                             rng: ColorRange, scale: int, multichannel: bool,
                             gamma: float, quality: int, map_quality: int,
                             use_base_cg: bool, wire_2d: bool = False,
-                            wire_bits: int = 7):
-    """P010 fused API-0 on the single-buffer delta wire upload (~25-45%
-    fewer bytes than the dense 10-bit pack and one transfer per image;
-    the upload link binds the pipeline)."""
-    o = _delta_wire_layout(h, w, wire_bits)
+                            wire_bits: int = 7,
+                            wire_cap: int = native.DELTA7_ESC_CAP):
+    """P010 fused API-0 on the single-buffer delta wire upload (2.4-4x
+    fewer bytes than raw P010 and one transfer per image; the upload link
+    binds the pipeline)."""
+    o = _delta_wire_layout(h, w, wire_bits, wire_cap)
     yw = buf[o[0]:o[1]].reshape(-1, wire_bits)
     uvw = buf[o[1]:o[2]].reshape(-1, wire_bits)
     yei = jax.lax.bitcast_convert_type(buf[o[2]:o[3]], jnp.int32)
@@ -917,7 +935,8 @@ def _dispatch_api0_p010(jr, img, quality: int, wire=_WIRE_UNSET):
     buf, mode = wire if wire is not None else (None, None)
     if buf is not None:
         out = _fused_api0_p010_delta7(jnp.asarray(buf), wire_2d=mode[0],
-                                      wire_bits=mode[1], **common)
+                                      wire_bits=mode[1], wire_cap=mode[2],
+                                      **common)
     else:
         y_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[0]))
         uv_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[1]))
@@ -1181,7 +1200,7 @@ def _dispatch_api0_p010_batch(jr, imgs, quality: int, wires):
                   multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
                   quality=int(quality), map_quality=jr.map_compress_quality,
                   use_base_cg=use_base_cg, wire_2d=mode[0],
-                  wire_bits=mode[1])
+                  wire_bits=mode[1], wire_cap=mode[2])
     bufs = jnp.asarray(np.stack([b for b, _ in wires]))
     per = [_fused_api0_p010_delta7(bufs[i], **common)
            for i in range(len(imgs))]

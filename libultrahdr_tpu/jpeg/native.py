@@ -231,9 +231,10 @@ def pack_delta_into(plane: np.ndarray, uv_interleaved: bool,
     """Delta + bit-sliced wire packing of a P010 plane (the upload codec;
     see uhdr_pack_delta in jpeg_entropy.cpp), written into caller-provided
     buffers (typically views into one coalesced wire buffer,
-    fused.pack_delta_wire).  two_d removes the vertical delta first
-    (photographic content then fits 4-5 bits/sample).  False when the
-    escape list overflows (caller falls back to a wider wire)."""
+    fused.pack_delta_wire); the escape capacity is esc_idx's length.
+    two_d removes the vertical delta first (photographic content then
+    fits 4-5 bits/sample).  False when the escape list overflows (caller
+    falls back to a wider wire)."""
     lib = get_lib()
     p = np.ascontiguousarray(plane, np.uint16)
     rows, cols = p.shape
@@ -243,7 +244,7 @@ def pack_delta_into(plane: np.ndarray, uv_interleaved: bool,
                                 int(bool(uv_interleaved)), int(bool(two_d)),
                                 int(bits), words.ctypes.data,
                                 esc_idx.ctypes.data, esc_val.ctypes.data,
-                                DELTA7_ESC_CAP)
+                                esc_idx.size)
     return n_esc >= 0
 
 

@@ -397,10 +397,14 @@ def _lut_pair(sym, luma_b, tbl_l, tbl_c):
 
 
 def _slot_lists_in_kernel(coeffs, dc_diff, luma_b):
-    """(64, T) stream coefficients + (T,) DC diffs + (T,) is-luma ->
-    per-slot (pays, lens) python lists of 72 (T,) arrays, replaying the
-    XLA _slot_symbols math (device_entropy.py) op for op."""
-    t = coeffs.shape[1]
+    """(64, R, L) stream coefficients + (R, L) DC diffs + (R, L) is-luma
+    -> per-slot (pays, lens) python lists of 72 (R, L) arrays, replaying
+    the XLA _slot_symbols math (device_entropy.py) op for op.
+
+    Blocks are laid out (R=8 sublanes, L=256 lanes), block index
+    b = r*L + l, so every per-block vector op fills the full 8x128 VPU
+    (a (T,) lane-vector would occupy 1 sublane = 1/8 of each vreg)."""
+    r, l = dc_diff.shape
     lut_l, lut_c = de._packed_ac_lut(False), de._packed_ac_lut(True)
     zl, zc, el, ec = _ac_special()
 
@@ -414,30 +418,30 @@ def _slot_lists_in_kernel(coeffs, dc_diff, luma_b):
     dc_len = dclen + dsize
 
     # ---- AC slots -----------------------------------------------------
-    ac = coeffs[1:64]                       # (63, T)
+    ac = coeffs[1:64]                       # (63, R, L)
     nz = ac != 0
     prevs = []
-    acc = jnp.zeros((t,), jnp.int32)
+    acc = jnp.zeros((r, l), jnp.int32)
     for s in range(63):
         prevs.append(acc)
         acc = jnp.maximum(acc, jnp.where(nz[s], s + 1, 0))
-    prev_nz = jnp.stack(prevs)              # (63, T) exclusive prefix max
-    last_nz = acc[None, :]                  # (1, T)
-    k = jax.lax.broadcasted_iota(jnp.int32, (63, t), 0) + 1
+    prev_nz = jnp.stack(prevs)              # (63, R, L) excl prefix max
+    last_nz = acc[None]                     # (1, R, L)
+    k = jax.lax.broadcasted_iota(jnp.int32, (63, r, l), 0) + 1
     d = k - prev_nz
     zrl_on = (~nz) & (d % 16 == 0) & (k < last_nz)
     run = (k - prev_nz - 1) % 16
     asize = _bit_size_vec(ac)
     sym = jnp.where(nz, (run << 4) | asize, 0)
-    v = _lut_pair(sym, luma_b[None, :], lut_l, lut_c)
+    v = _lut_pair(sym, luma_b[None], lut_l, lut_c)
     acode, aclen = v >> 5, (v & 31).astype(jnp.int32)
     abits = de._value_bits(ac, asize)
     zrl_pay = jnp.where(luma_b, jnp.uint32(zl >> 5), jnp.uint32(zc >> 5))
     zrl_len = jnp.where(luma_b, zl & 31, zc & 31)
     ac_pay = jnp.where(nz, (acode << asize.astype(jnp.uint32)) | abits,
-                       jnp.where(zrl_on, zrl_pay[None, :], 0))
+                       jnp.where(zrl_on, zrl_pay[None], 0))
     ac_len = jnp.where(nz, aclen + asize,
-                       jnp.where(zrl_on, zrl_len[None, :], 0))
+                       jnp.where(zrl_on, zrl_len[None], 0))
 
     eob_on = (last_nz < 63)[0]
     eob_pay = jnp.where(eob_on & luma_b, jnp.uint32(el >> 5),
@@ -445,8 +449,8 @@ def _slot_lists_in_kernel(coeffs, dc_diff, luma_b):
     eob_len = jnp.where(eob_on & luma_b, el & 31,
                         jnp.where(eob_on, ec & 31, 0))
 
-    zero_u = jnp.zeros((t,), jnp.uint32)
-    zero_i = jnp.zeros((t,), jnp.int32)
+    zero_u = jnp.zeros((r, l), jnp.uint32)
+    zero_i = jnp.zeros((r, l), jnp.int32)
     pays = [dc_pay] + [ac_pay[s] for s in range(63)] + [eob_pay] \
         + [zero_u] * (_SLOTS - 65)
     lens = [dc_len] + [ac_len[s] for s in range(63)] + [eob_len] \
@@ -454,91 +458,112 @@ def _slot_lists_in_kernel(coeffs, dc_diff, luma_b):
     return pays, lens
 
 
+_R = 8                              # sublane rows per tile
+_L = _TILE // _R                    # lanes per tile row (block b = r*_L + l)
+
+
 def _sym_pack_tile_kernel(coeffs_ref, dcdiff_ref, luma_ref, out_ref,
                           blen_ref):
-    """v3 tile: (64, T) stream coefficients -> (8, B/8) compacted words +
-    (1, T) bit lengths (no row pad; the host joiner aligns rows)."""
-    coeffs = coeffs_ref[:]
-    dc_diff = dcdiff_ref[0, :]
-    luma_b = luma_ref[0, :] != 0
-    t = coeffs.shape[1]
+    """v3 tile: (64, R, L) stream coefficients -> (8, B/8) compacted words
+    + (R, L) bit lengths (no row pad; the host joiner aligns rows)."""
+    coeffs = coeffs_ref[:].astype(jnp.int32)
+    dc_diff = dcdiff_ref[:].astype(jnp.int32)         # (R, L)
+    luma_b = luma_ref[:] != 0                         # (R, L)
+    t = _R * _L
     budget = out_ref.shape[0] * out_ref.shape[1]
-    row_w = out_ref.shape[1]
 
     pays, lens = _slot_lists_in_kernel(coeffs, dc_diff, luma_b)
 
     # group offsets + total (exclusive prefix over the 72 slot lens)
     goffs = []
-    acc = jnp.zeros((t,), jnp.int32)
+    acc = jnp.zeros((_R, _L), jnp.int32)
     for s in range(_SLOTS):
         if s % 8 == 0:
             goffs.append(acc)
         acc = acc + lens[s]
     blen = acc
-    blen_ref[:] = blen[None, :]
+    blen_ref[:] = blen
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_CAP, t), 0)
-    bb = jnp.zeros((_CAP, t), jnp.uint32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_CAP, _R, _L), 0)
+    bb = jnp.zeros((_CAP, _R, _L), jnp.uint32)
     for g in range(de._GROUPS_PER_BLOCK):
         gp = [pays[8 * g + i] for i in range(8)]
         gl = [lens[8 * g + i] for i in range(8)]
         seg, _ = _combine8_list(gp, gl)
         goff = goffs[g]
         placed = de._shift_down(seg, (goff & 31).astype(jnp.uint32))
-        gw = (goff >> 5)[None, :]
+        gw = (goff >> 5)[None]                        # (1, R, L)
         for dd in range(8):
-            bb = bb | jnp.where(row_ids == gw + dd, placed[dd][None, :], 0)
+            bb = bb | jnp.where(row_ids == gw + dd, placed[dd][None], 0)
 
-    # ---- in-tile compaction (same as _pack_compact_tile_kernel) -------
-    wlen = (blen + 31) >> 5
-    incl = _prefix_sum_lanes(wlen[None, :])[0]
-    dest = incl - wlen
+    # ---- in-tile compaction -------------------------------------------
+    # block order is b = r*L + l: per-row lane prefix + exclusive row
+    # offsets give each block's word destination in the flat tile stream
+    wlen = (blen + 31) >> 5                           # (R, L)
+    incl = _prefix_sum_lanes(wlen)                    # per-row inclusive
+    rowsum = jnp.sum(wlen, axis=1, keepdims=True)     # (R, 1)
+    rs_t = rowsum.reshape(1, _R)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (_R, _R), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (_R, _R), 1)
+    rowoff = jnp.sum(jnp.where(jj < ii, jnp.broadcast_to(rs_t, (_R, _R)),
+                               0), axis=1, keepdims=True)       # (R, 1)
+    dest = (incl - wlen) + rowoff                     # (R, L) flat dests
     live = jnp.sum(wlen, dtype=jnp.int32)
-    bb_bytes = [((bb >> (8 * kk)) & jnp.uint32(0xFF)).astype(jnp.int32)
+
+    dest_f = dest.reshape(1, t)
+    bb_f = bb.reshape(_CAP, t)
+    bb_bytes = [((bb_f >> (8 * kk)) & jnp.uint32(0xFF)).astype(jnp.int32)
                 .astype(jnp.float32) for kk in range(4)]
-    dest_bytes = [((dest >> (8 * kk)) & 0xFF).astype(jnp.float32)[None, :]
+    dest_bytes = [((dest_f >> (8 * kk)) & 0xFF).astype(jnp.float32)
                   for kk in range(3)]
     src_rows = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, _CAP), 1)
     dnum = (((1,), (1,)), ((), ()))
-    n_chunks = budget // _CHUNK
-    for c in range(n_chunks):
-        @pl.when(c * _CHUNK < live)
-        def _(c=c):
-            j = (jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
-                 + c * _CHUNK)
-            ge = (j >= dest[None, :]).astype(jnp.float32)
-            blk = jnp.sum(ge, axis=1).astype(jnp.int32) - 1
-            onehot = (blk[:, None] == jax.lax.broadcasted_iota(
-                jnp.int32, (_CHUNK, t), 1)).astype(jnp.float32)
-            dst_of = jnp.zeros((_CHUNK,), jnp.int32)
-            for kk, db in enumerate(dest_bytes):
-                part = jax.lax.dot_general(
-                    onehot, db, dnum,
-                    preferred_element_type=jnp.float32)[:, 0]
-                dst_of = dst_of + (part.astype(jnp.int32) << (8 * kk))
-            src = j[:, 0] - dst_of
-            word_i = jnp.zeros((_CHUNK,), jnp.int32)
-            for kk, bbb in enumerate(bb_bytes):
-                part = jax.lax.dot_general(
-                    onehot, bbb, dnum,
-                    preferred_element_type=jnp.float32)
-                byte = jnp.sum(
-                    jnp.where(src[:, None] == src_rows,
-                              part.astype(jnp.int32), 0),
-                    axis=1, dtype=jnp.int32)
-                word_i = word_i | (byte << (8 * kk))
-            out_ref[(c * _CHUNK) // row_w,
-                    pl.ds((c * _CHUNK) % row_w, _CHUNK)] = \
-                jax.lax.bitcast_convert_type(word_i, jnp.uint32)
+    # only ~live/_CHUNK chunks hold data (~2-5% of the budget on typical
+    # content); a dynamic-bound fori_loop touches just those, where an
+    # unrolled budget//_CHUNK chain of pl.when regions pays its scalar
+    # control-flow cost ~128 times per grid step.  out_ref is (n_chunks,
+    # _CHUNK): one sublane row per chunk, so the store index is simply c.
+    n_active = (live + _CHUNK - 1) // _CHUNK
+
+    def chunk_body(c, carry):
+        j = (jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
+             + c * _CHUNK)
+        ge = (j >= dest_f).astype(jnp.float32)
+        blk = jnp.sum(ge, axis=1).astype(jnp.int32) - 1
+        onehot = (blk[:, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (_CHUNK, t), 1)).astype(jnp.float32)
+        dst_of = jnp.zeros((_CHUNK,), jnp.int32)
+        for kk, db in enumerate(dest_bytes):
+            part = jax.lax.dot_general(
+                onehot, db, dnum,
+                preferred_element_type=jnp.float32)[:, 0]
+            dst_of = dst_of + (part.astype(jnp.int32) << (8 * kk))
+        src = j[:, 0] - dst_of
+        word_i = jnp.zeros((_CHUNK,), jnp.int32)
+        for kk, bbb in enumerate(bb_bytes):
+            part = jax.lax.dot_general(
+                onehot, bbb, dnum,
+                preferred_element_type=jnp.float32)
+            byte = jnp.sum(
+                jnp.where(src[:, None] == src_rows,
+                          part.astype(jnp.int32), 0),
+                axis=1, dtype=jnp.int32)
+            word_i = word_i | (byte << (8 * kk))
+        out_ref[pl.ds(c, 1), :] = \
+            jax.lax.bitcast_convert_type(word_i, jnp.uint32)[None]
+        return carry
+
+    jax.lax.fori_loop(0, n_active, chunk_body, 0)
 
 
 def _stream_inputs(coeff_planes, layout: de.ScanLayout):
     """XLA preprocessing for the v3 kernel: MCU-interleave the coefficient
     blocks to stream order and compute the per-row-reset DC diffs
-    (T.81 F.1.2; restart rows reset the predictor)."""
+    (T.81 F.1.2; restart rows reset the predictor).  Stream stays int16
+    (half the HBM traffic; the kernel widens in VMEM)."""
     mh, mw = layout.mcus_h, layout.mcus_w
     stream = de._interleave_stream(
-        [p.astype(jnp.int32) for p in coeff_planes], layout)
+        [p.astype(jnp.int16) for p in coeff_planes], layout)
     comp_diffs = []
     for p, (hs, vs) in zip(coeff_planes, layout.sampling):
         dcs = p[..., 0].astype(jnp.int32).reshape(mh, vs, mw, hs)
@@ -557,38 +582,42 @@ def _pack_tiles_v3(stream, dc_diff, is_luma, *, budget: int,
     n_blocks = stream.shape[0]
     n_pad = -(-n_blocks // _TILE) * _TILE
     pad = n_pad - n_blocks
-    stream_t = jnp.pad(stream, ((0, pad), (0, 0))).T       # (64, n_pad)
-    dcd = jnp.pad(dc_diff, (0, pad))[None, :]
-    lum = jnp.pad(is_luma, (0, pad))[None, :]
     n_tiles = n_pad // _TILE
+    # blocked layout: block b of tile i sits at [:, i*R + b//L, b%L]
+    stream_t = jnp.pad(stream, ((0, pad), (0, 0))) \
+        .reshape(n_tiles, _R, _L, 64).transpose(3, 0, 1, 2) \
+        .reshape(64, n_tiles * _R, _L)
+    dcd = jnp.pad(dc_diff, (0, pad)).reshape(n_tiles * _R, _L)
+    lum = jnp.pad(is_luma, (0, pad)).reshape(n_tiles * _R, _L)
     tile_budget = _TILE * budget
-    row_w = tile_budget // 8
+    n_chunks = tile_budget // _CHUNK
 
     tiles, blen = pl.pallas_call(
         _sym_pack_tile_kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((64, _TILE), lambda i: (0, i),
+            pl.BlockSpec((64, _R, _L), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE), lambda i: (0, i),
+            pl.BlockSpec((_R, _L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE), lambda i: (0, i),
+            pl.BlockSpec((_R, _L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((8, row_w), lambda i: (i, 0),
+            pl.BlockSpec((n_chunks, _CHUNK), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE), lambda i: (0, i),
+            pl.BlockSpec((_R, _L), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles * 8, row_w), jnp.uint32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * n_chunks, _CHUNK), jnp.uint32),
+            jax.ShapeDtypeStruct((n_tiles * _R, _L), jnp.int32),
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(stream_t, dcd, lum)
-    return tiles.reshape(n_tiles, tile_budget), blen[0, :n_blocks]
+    return (tiles.reshape(n_tiles, tile_budget),
+            blen.reshape(-1)[:n_blocks])
 
 
 def pack_scan_tiles(coeff_planes, layout: de.ScanLayout,

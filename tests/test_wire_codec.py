@@ -124,20 +124,25 @@ def test_fused_encode_identical_across_wire_modes(monkeypatch):
     monkeypatch.setenv("UHDR_TPU_WIRE", "1d7")
     via_1d7 = jr.encode_api0(img, quality=92)
     monkeypatch.setenv("UHDR_TPU_WIRE", "2d5")
-    assert fused._wire_mode() == (True, 5)
+    assert fused._wire_mode()[0][:2] == (True, 5)
     via_2d5 = jr.encode_api0(img, quality=92)
     assert via_2d5 == via_1d7
+    monkeypatch.setenv("UHDR_TPU_WIRE", "auto")
+    via_auto = jr.encode_api0(img, quality=92)
+    assert via_auto == via_1d7
 
 
 def test_wire_mode_parse(monkeypatch):
+    cap = fused.native.DELTA7_ESC_CAP
     monkeypatch.setenv("UHDR_TPU_WIRE", "2d6")
-    assert fused._wire_mode() == (True, 6)
+    assert fused._wire_mode() == ((True, 6, cap), fused._WIRE_1D7)
     monkeypatch.setenv("UHDR_TPU_WIRE", "1d7")
-    assert fused._wire_mode() == (False, 7)
+    assert fused._wire_mode() == (fused._WIRE_1D7,)
     monkeypatch.setenv("UHDR_TPU_WIRE", "garbage")
-    assert fused._wire_mode() == (False, 7)
+    assert fused._wire_mode() == (fused._WIRE_1D7,)
     monkeypatch.delenv("UHDR_TPU_WIRE")
-    assert fused._wire_mode() == (True, 5)
+    assert fused._wire_mode() == fused._WIRE_LADDER
+    assert fused._WIRE_LADDER[0] == (True, 4, 8192)
 
 
 def test_fused_encode_identical_across_wire_paths(monkeypatch):
