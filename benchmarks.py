@@ -112,9 +112,11 @@ def _p010_to_rgbaf16(img: RawImage) -> RawImage:
     comp[..., 1] = ((u >> 6).astype(np.float32) / 1023.0).astype(np.float16)
     comp[..., 2] = ((v >> 6).astype(np.float32) / 1023.0).astype(np.float16)
     comp[..., 3] = np.float16(1.0)
+    # RGBAF16 planes carry half-float BIT PATTERNS as uint16 (the library
+    # convention; unpack_rgbaf16 bitcasts)
     return RawImage(ImgFmt.RGBAF16, ColorGamut.BT2100, ColorTransfer.LINEAR,
                     ColorRange.FULL, img.w, img.h,
-                    [np.ascontiguousarray(comp)])
+                    [np.ascontiguousarray(comp).view(np.uint16)])
 
 
 def main(argv=None):

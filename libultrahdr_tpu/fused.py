@@ -125,10 +125,11 @@ def _fused_api0_p010_packed(y_bits, uv_bits, *, h: int, w: int,
 
 def _delta_decode_plane(words, esc_idx, esc_val, h: int, w: int,
                         uv_interleaved: bool, bits: int = 7,
-                        two_d: bool = False):
-    """Device half of the delta wire codec (native.uhdr_pack_delta):
-    bit-sliced `bits`-wide delta codes -> u16 P010 samples (value in the
-    10 MSB).
+                        two_d: bool = False, base: int = 512,
+                        shift: int = 6):
+    """Device half of the delta wire codec (native.uhdr_pack_delta[_g]):
+    bit-sliced `bits`-wide delta codes -> u16 samples (`shift`-aligned;
+    6 for P010's 10-MSB layout, 0 for raw u16 channels).
 
     Un-slicing is `bits` static shift-ands per 32-sample group (no
     gather), escapes patch via one tiny scatter, and a row cumsum (plus a
@@ -145,8 +146,9 @@ def _delta_decode_plane(words, esc_idx, esc_val, h: int, w: int,
         t = jnp.cumsum(d.reshape(h, w // 2, 2), axis=1).reshape(h, w)
     else:
         t = jnp.cumsum(d.reshape(h, w), axis=1)
-    v = (jnp.cumsum(t, axis=0) if two_d else t) + 512
-    return (v.astype(jnp.uint16) << 6)
+    v = (jnp.cumsum(t, axis=0) if two_d else t) + base
+    return (v.astype(jnp.uint16) << shift) if shift \
+        else v.astype(jnp.uint16)
 
 
 def _delta7_decode_plane(words, esc_idx, esc_val, h: int, w: int,
@@ -411,6 +413,95 @@ def _fused_api0_rgb(packed, *, fmt: ImgFmt, h: int, w: int, cg: ColorGamut,
         [y8, u8, v8], _SAMPLING_444, [qluma, qchroma, qchroma])
     gm_words, gm_off = _pack_gainmap(gm, multichannel, map_quality)
     return base_words, base_off, gm_words, gm_off
+
+
+# ---------------------------------------------------------------------------
+# RGB-input upload wire: RGBA1010102/RGBAF16 channels travel as 2D-delta
+# bit-sliced planes (shift=0 on the raw u16 values; f16 bit patterns of
+# smooth HDR content delta just as well as linear codes, escapes catch the
+# sign/exponent steps).  Alpha must be constant (stored as one wire word);
+# non-constant alpha falls back to the raw upload.
+
+_RGB_ESC = 8192
+_RGB_LADDERS = {ImgFmt.RGBA1010102: (4, 6), ImgFmt.RGBAF16: (6, 8)}
+
+
+def _rgb_wire_layout(h: int, w: int, bits: int):
+    nw = -(-(h * w) // 32) * bits
+    offs = [0, nw, 2 * nw, 3 * nw]          # channel word sections
+    for _ in range(3):
+        offs.append(offs[-1] + _RGB_ESC)    # esc_idx (i32)
+        offs.append(offs[-1] + _RGB_ESC)    # esc_val (i32)
+    offs.append(offs[-1] + 1)               # alpha word
+    return offs
+
+
+def pack_rgb_wire(plane: np.ndarray, fmt: ImgFmt, bits: int):
+    """Host half: (wire_buf u32) or None (escape overflow / varying
+    alpha -> raw upload)."""
+    if fmt == ImgFmt.RGBA1010102:
+        p = np.ascontiguousarray(plane)
+        chans = [((p >> s) & 1023).astype(np.uint16) for s in (0, 10, 20)]
+        alpha = (p >> 30) & 3
+    else:
+        comp = np.ascontiguousarray(plane)
+        if comp.dtype == np.float16:
+            comp = comp.view(np.uint16)
+        chans = [np.ascontiguousarray(comp[..., i]) for i in range(3)]
+        alpha = comp[..., 3]
+    a0 = alpha.flat[0]
+    if not np.all(alpha == a0):
+        return None
+    h, w = chans[0].shape
+    o = _rgb_wire_layout(h, w, bits)
+    buf = np.empty(o[-1], np.uint32)
+    for i, ch in enumerate(chans):
+        ok = native.pack_delta_g_into(
+            ch, buf[o[i]:o[i + 1]].reshape(-1, bits),
+            buf[o[3 + 2 * i]:o[4 + 2 * i]].view(np.int32),
+            buf[o[4 + 2 * i]:o[5 + 2 * i]].view(np.int32),
+            two_d=True, bits=bits, shift=0, base=512)
+        if not ok:
+            return None
+    buf[o[9]] = np.uint32(a0)
+    return buf
+
+
+def _decode_rgb_wire(buf, h: int, w: int, fmt: ImgFmt, bits: int):
+    """Device half: reconstruct the exact packed input array."""
+    o = _rgb_wire_layout(h, w, bits)
+    chans = []
+    for i in range(3):
+        words = buf[o[i]:o[i + 1]].reshape(-1, bits)
+        ei = jax.lax.bitcast_convert_type(buf[o[3 + 2 * i]:o[4 + 2 * i]],
+                                          jnp.int32)
+        ev = jax.lax.bitcast_convert_type(buf[o[4 + 2 * i]:o[5 + 2 * i]],
+                                          jnp.int32)
+        chans.append(_delta_decode_plane(words, ei, ev, h, w, False, bits,
+                                         True, base=512, shift=0))
+    alpha = buf[o[9]]
+    if fmt == ImgFmt.RGBA1010102:
+        r, g, b = [c.astype(jnp.uint32) for c in chans]
+        return r | (g << 10) | (b << 20) | (alpha << 30)
+    a16 = jnp.broadcast_to(alpha.astype(jnp.uint16), (h, w))
+    return jnp.stack([chans[0], chans[1], chans[2], a16], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fmt", "h", "w", "cg", "ct", "scale", "multichannel", "gamma",
+    "quality", "map_quality", "use_base_cg", "wire_bits"))
+def _fused_api0_rgb_wire(buf, *, fmt: ImgFmt, h: int, w: int,
+                         cg: ColorGamut, ct: ColorTransfer, scale: int,
+                         multichannel: bool, gamma: float, quality: int,
+                         map_quality: int, use_base_cg: bool,
+                         wire_bits: int):
+    """_fused_api0_rgb on the delta-wire upload (2.7-3.5x fewer bytes)."""
+    packed = _decode_rgb_wire(buf, h, w, fmt, wire_bits)
+    return _fused_api0_rgb(packed, fmt=fmt, h=h, w=w, cg=cg, ct=ct,
+                           scale=scale, multichannel=multichannel,
+                           gamma=gamma, quality=quality,
+                           map_quality=map_quality,
+                           use_base_cg=use_base_cg)
 
 
 def _pack_gainmap(gm, multichannel: bool, map_quality: int):
@@ -747,6 +838,77 @@ def pack_coeff_wire(planes) -> bytes | None:
     return b"".join(parts)
 
 
+def _esc_cap4(n_ac: int) -> int:
+    """Escape capacity for the int4 coefficient wire: ~0.8% of samples
+    (natural content at q95 measures ~0.35%), rounded to 4096; static
+    per plane shape."""
+    return max(8192, -(-n_ac // 128) // 4096 * 4096 + 4096)
+
+
+def pack_coeff_wire4(planes) -> bytes | None:
+    """Half-size variant of pack_coeff_wire: AC coefficients bit-sliced
+    at 4 bits/sample (native uhdr_pack_slices) with per-plane escape
+    lists — quantized natural-image ACs fit [-8,7] for >99.5% of samples
+    at q95, so the decode upload drops from ~8.1 to ~4.3 bits/coeff.
+    Layout per plane: [dc i16][ac 4-bit slices][esc_idx i32][esc_val i16].
+    None when any plane's escapes overflow (caller tries the int8 wire)."""
+    parts = []
+    for c in planes:
+        a = np.asarray(c)
+        dc = np.ascontiguousarray(a[..., 0], np.int16)
+        ac = np.ascontiguousarray(a[..., 1:], np.int16).reshape(-1)
+        cap = _esc_cap4(ac.size)
+        g = -(-ac.size // 32)
+        words = np.empty((g, 4), np.uint32)
+        esc_idx = np.empty(cap, np.int32)
+        esc_val = np.empty(cap, np.int16)
+        if not native.pack_slices_into(ac, 4, words, esc_idx, esc_val):
+            return None
+        parts += [dc.tobytes(), words.tobytes(), esc_idx.tobytes(),
+                  esc_val.tobytes()]
+    return b"".join(parts)
+
+
+def _unpack_coeff_wire4(blob, plane_shapes: tuple):
+    """Device half of pack_coeff_wire4: un-slice the 4-bit AC codes
+    (4 static shift-ands per 32-sample group, no gather), patch escapes,
+    and rebuild int32 coefficient arrays."""
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    out = []
+    off = 0
+    for bh, bw in plane_shapes:
+        n = bh * bw
+        n_ac = n * 63
+        dc = jax.lax.bitcast_convert_type(
+            jax.lax.slice(blob, [off], [off + 2 * n]).reshape(n, 2),
+            jnp.int16).reshape(bh, bw)
+        off += 2 * n
+        g = -(-n_ac // 32)
+        words = jax.lax.bitcast_convert_type(
+            jax.lax.slice(blob, [off], [off + 16 * g]).reshape(4 * g, 4),
+            jnp.uint32).reshape(g, 4)
+        off += 16 * g
+        cap = _esc_cap4(n_ac)
+        idx = jax.lax.bitcast_convert_type(
+            jax.lax.slice(blob, [off], [off + 4 * cap]).reshape(cap, 4),
+            jnp.int32).reshape(-1)
+        off += 4 * cap
+        val = jax.lax.bitcast_convert_type(
+            jax.lax.slice(blob, [off], [off + 2 * cap]).reshape(cap, 2),
+            jnp.int16).reshape(-1)
+        off += 2 * cap
+        s = jnp.zeros((g, 32), jnp.int32)
+        for j in range(4):
+            s = s | (((words[:, j:j + 1] >> lanes) & 1) << j) \
+                .astype(jnp.int32)
+        ac = s.reshape(-1)[:n_ac] - 8
+        ac = ac.at[idx].set(val.astype(jnp.int32), mode="drop")
+        out.append(jnp.concatenate(
+            [dc[..., None].astype(jnp.int32), ac.reshape(bh, bw, 63)],
+            axis=-1))
+    return out
+
+
 def _unpack_coeff_wire(blob, plane_shapes: tuple):
     """Device half of pack_coeff_wire: slice + bitcast the blob back into
     reconstructed int32 coefficient arrays (static section layout)."""
@@ -780,18 +942,21 @@ def _unpack_coeff_wire(blob, plane_shapes: tuple):
 
 @functools.partial(jax.jit, static_argnames=(
     "plane_shapes", "n_base", "h", "w", "sampling_key", "gm_channels",
-    "scale_k", "out_ct", "sdr_cg", "hdr_cg", "use_base_cg"))
+    "scale_k", "out_ct", "sdr_cg", "hdr_cg", "use_base_cg", "wire"))
 def _fused_decode_batch(blobs, qts, meta_arrays, weights, *,
                         plane_shapes: tuple, n_base: int, h: int, w: int,
                         sampling_key: str, gm_channels: int, scale_k: int,
                         out_ct: ColorTransfer, sdr_cg: ColorGamut,
-                        hdr_cg: ColorGamut, use_base_cg: bool):
+                        hdr_cg: ColorGamut, use_base_cg: bool,
+                        wire: str = "i8"):
     """K uniform images decode as one program: blobs (K, wire_bytes) u8,
     qts (K, n_planes, 64) i32, meta_arrays dict of (K, 3) f32, weights
     (K,) f32.  Output packing identical to _fused_decode per image (the
-    wire is byte-invisible)."""
+    wire — int8 or 4-bit-sliced — is byte-invisible)."""
+    unpack = _unpack_coeff_wire4 if wire == "i4" else _unpack_coeff_wire
+
     def one(blob, qt, meta, wgt):
-        planes = _unpack_coeff_wire(blob, plane_shapes)
+        planes = unpack(blob, plane_shapes)
         return _decode_device_core(
             planes[:n_base], [qt[i] for i in range(n_base)],
             planes[n_base:], [qt[i] for i in range(n_base, qt.shape[0])],
@@ -800,6 +965,28 @@ def _fused_decode_batch(blobs, qts, meta_arrays, weights, *,
             sdr_cg=sdr_cg, hdr_cg=hdr_cg, use_base_cg=use_base_cg,
             use_pallas=False)  # vmapped program: plain XLA apply
     return jax.vmap(one)(blobs, qts, meta_arrays, weights)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "plane_shapes", "n_base", "h", "w", "sampling_key", "gm_channels",
+    "scale_k", "out_ct", "sdr_cg", "hdr_cg", "use_base_cg", "wire"))
+def _fused_decode_wire(blob, qts, meta_arrays, weight, *,
+                       plane_shapes: tuple, n_base: int, h: int, w: int,
+                       sampling_key: str, gm_channels: int, scale_k: int,
+                       out_ct: ColorTransfer, sdr_cg: ColorGamut,
+                       hdr_cg: ColorGamut, use_base_cg: bool,
+                       wire: str = "i4"):
+    """Single-image fused decode on the coalesced coefficient wire blob:
+    ONE h2d upload instead of one per plane buffer (the link pays ~40 ms
+    fixed latency per transfer), and the 4-bit wire halves the bytes."""
+    unpack = _unpack_coeff_wire4 if wire == "i4" else _unpack_coeff_wire
+    planes = unpack(blob, plane_shapes)
+    return _decode_device_core(
+        planes[:n_base], [qts[i] for i in range(n_base)],
+        planes[n_base:], [qts[i] for i in range(n_base, qts.shape[0])],
+        meta_arrays, weight, h=h, w=w, sampling_key=sampling_key,
+        gm_channels=gm_channels, scale_k=scale_k, out_ct=out_ct,
+        sdr_cg=sdr_cg, hdr_cg=hdr_cg, use_base_cg=use_base_cg)
 
 
 def decode_coefficients(data: bytes, info):
@@ -1013,11 +1200,24 @@ def encode_api0_rgb_fused(jr, img, quality: int, exif: bytes | None) -> bytes:
     cg, ct = ColorGamut(img.cg), ColorTransfer(img.ct)
     scale = _resolve_scale(jr, img)
     use_base_cg = _use_base_cg(ColorGamut.DISPLAY_P3, cg, jr.write_xmp)
-    base_words, base_blen_d, gm_words, gm_blen_d = _fused_api0_rgb(
-        jnp.asarray(img.planes[0]), fmt=fmt, h=img.h, w=img.w, cg=cg, ct=ct,
-        scale=scale, multichannel=jr.use_multi_channel_gainmap,
-        gamma=jr.gamma, quality=int(quality),
-        map_quality=jr.map_compress_quality, use_base_cg=use_base_cg)
+    plane = img.planes[0]
+    if fmt == ImgFmt.RGBAF16 and plane.dtype == np.float16:
+        plane = plane.view(np.uint16)     # bit-pattern convention
+    common = dict(fmt=fmt, h=img.h, w=img.w, cg=cg, ct=ct, scale=scale,
+                  multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
+                  quality=int(quality),
+                  map_quality=jr.map_compress_quality,
+                  use_base_cg=use_base_cg)
+    out = None
+    for bits in _RGB_LADDERS[fmt]:        # smallest wire that fits wins
+        wire = pack_rgb_wire(plane, fmt, bits)
+        if wire is not None:
+            out = _fused_api0_rgb_wire(jnp.asarray(wire), wire_bits=bits,
+                                       **common)
+            break
+    if out is None:                       # raw upload fallback
+        out = _fused_api0_rgb(jnp.asarray(plane), **common)
+    base_words, base_blen_d, gm_words, gm_blen_d = out
     gm_sampling = _SAMPLING_444 if jr.use_multi_channel_gainmap \
         else _SAMPLING_400
     base_scan = fetch_blocks(base_words, np.asarray(base_blen_d),

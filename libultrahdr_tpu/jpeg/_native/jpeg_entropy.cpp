@@ -201,26 +201,30 @@ void uhdr_pack_p010_10bit(const uint16_t* in, int64_t n, uint16_t* out) {
 // whitens smooth gradients so photographic content fits 4-5 bits.  The
 // device reconstructs with a column cumsum then a row cumsum (fused.py
 // _delta_decode_plane).  Escapes store the true horizontal delta.
-int64_t uhdr_pack_delta(const uint16_t* in, int64_t rows, int64_t cols,
-                        int uv_interleaved, int two_d, int bits,
-                        uint32_t* out_words, int32_t* esc_idx,
-                        int16_t* esc_val, int64_t esc_cap) {
+// General form: configurable value shift (6 for P010's MSB-aligned 10-bit
+// samples, 0 for raw u16 channels), predictor base, and int32 escape
+// values (raw-u16 2D deltas span 18 bits).
+int64_t uhdr_pack_delta_g(const uint16_t* in, int64_t rows, int64_t cols,
+                          int uv_interleaved, int two_d, int bits,
+                          int shift, int32_t base, uint32_t* out_words,
+                          int32_t* esc_idx, int32_t* esc_val,
+                          int64_t esc_cap) {
   if (bits < 2 || bits > 8) return -2;
   int64_t n = rows * cols;
   const int32_t offs = 1 << (bits - 1);
   const uint32_t lim = (1u << bits) - 1u;
   std::vector<uint8_t> codes(((n + 31) / 32) * 32, (uint8_t)offs);
   std::vector<int32_t> prev_row;
-  if (two_d) prev_row.assign((size_t)cols, 512);
+  if (two_d) prev_row.assign((size_t)cols, base);
   int64_t n_esc = 0;
   for (int64_t r = 0; r < rows; r++) {
     const uint16_t* src = in + r * cols;
     uint8_t* dst = codes.data() + r * cols;
-    // 1D: predictor starts at 512 per row; 2D: horizontal predictor of the
-    // vertically-differenced samples starts at 0 per row
-    int32_t prev0 = two_d ? 0 : 512, prev1 = prev0;
+    // 1D: predictor starts at `base` per row; 2D: horizontal predictor of
+    // the vertically-differenced samples starts at 0 per row
+    int32_t prev0 = two_d ? 0 : base, prev1 = prev0;
     for (int64_t c = 0; c < cols; c++) {
-      int32_t v = src[c] >> 6;
+      int32_t v = src[c] >> shift;
       int32_t t = v;
       if (two_d) {
         t = v - prev_row[(size_t)c];
@@ -235,7 +239,7 @@ int64_t uhdr_pack_delta(const uint16_t* in, int64_t rows, int64_t cols,
       } else {
         if (n_esc >= esc_cap) return -1;
         esc_idx[n_esc] = (int32_t)(r * cols + c);
-        esc_val[n_esc++] = (int16_t)d;
+        esc_val[n_esc++] = d;
       }
     }
   }
@@ -252,12 +256,65 @@ int64_t uhdr_pack_delta(const uint16_t* in, int64_t rows, int64_t cols,
   return n_esc;
 }
 
+// P010 form (10-bit samples in the MSBs; deltas fit int16 escapes)
+int64_t uhdr_pack_delta(const uint16_t* in, int64_t rows, int64_t cols,
+                        int uv_interleaved, int two_d, int bits,
+                        uint32_t* out_words, int32_t* esc_idx,
+                        int16_t* esc_val, int64_t esc_cap) {
+  std::vector<int32_t> v32((size_t)(esc_cap > 0 ? esc_cap : 1));
+  int64_t n = uhdr_pack_delta_g(in, rows, cols, uv_interleaved, two_d,
+                                bits, 6, 512, out_words, esc_idx,
+                                v32.data(), esc_cap);
+  for (int64_t i = 0; i < (n > 0 ? n : 0); i++)
+    esc_val[i] = (int16_t)v32[(size_t)i];
+  return n;
+}
+
 int64_t uhdr_pack_delta7(const uint16_t* in, int64_t rows, int64_t cols,
                          int uv_interleaved, uint32_t* out_words,
                          int32_t* esc_idx, int16_t* esc_val,
                          int64_t esc_cap) {
   return uhdr_pack_delta(in, rows, cols, uv_interleaved, 0, 7, out_words,
                          esc_idx, esc_val, esc_cap);
+}
+
+// Bit-slice a flat int16 stream at `bits` per sample (no prediction) with
+// an escape list for out-of-range values — the decode path's coefficient
+// upload wire (quantized natural-image AC coefficients fit 4 bits for
+// >99.5% of samples at q95).  Groups of 32 samples slice into `bits` u32
+// words; escapes store (flat index, true value).  Returns the escape
+// count, or -1 on overflow.
+int64_t uhdr_pack_slices(const int16_t* in, int64_t n, int bits,
+                         uint32_t* out_words, int32_t* esc_idx,
+                         int16_t* esc_val, int64_t esc_cap) {
+  if (bits < 2 || bits > 8) return -2;
+  const int32_t offs = 1 << (bits - 1);
+  const uint32_t lim = (1u << bits) - 1u;
+  int64_t n_esc = 0;
+  int64_t groups = (n + 31) / 32;
+  for (int64_t g = 0; g < groups; g++) {
+    uint32_t w[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    int64_t base = g * 32;
+    int m = (int)((n - base < 32) ? (n - base) : 32);
+    for (int i = 0; i < m; i++) {
+      int32_t s = (int32_t)in[base + i] + offs;
+      uint32_t c;
+      if ((uint32_t)s <= lim) {
+        c = (uint32_t)s;
+      } else {
+        if (n_esc >= esc_cap) return -1;
+        esc_idx[n_esc] = (int32_t)(base + i);
+        esc_val[n_esc++] = in[base + i];
+        c = (uint32_t)offs;              // decodes to 0, patched on device
+      }
+      for (int j = 0; j < bits; j++) w[j] |= ((c >> j) & 1u) << i;
+    }
+    for (int i = m; i < 32; i++)
+      for (int j = 0; j < bits; j++)
+        w[j] |= (((uint32_t)offs >> j) & 1u) << i;
+    for (int j = 0; j < bits; j++) out_words[g * bits + j] = w[j];
+  }
+  return n_esc;
 }
 
 // Finalize a device-packed scan: byte-stuff each restart row and join rows

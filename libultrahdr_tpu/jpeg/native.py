@@ -73,6 +73,17 @@ def get_lib():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_pack_slices.restype = ctypes.c_int64
+            lib.uhdr_pack_slices.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_pack_delta_g.restype = ctypes.c_int64
+            lib.uhdr_pack_delta_g.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int32, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
             lib.uhdr_stuff_scan.restype = ctypes.c_int64
             lib.uhdr_stuff_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
@@ -253,6 +264,42 @@ def pack_delta7_into(plane: np.ndarray, uv_interleaved: bool,
                      esc_val: np.ndarray) -> bool:
     """pack_delta_into at the 1D/7-bit default (the original delta7)."""
     return pack_delta_into(plane, uv_interleaved, words, esc_idx, esc_val)
+
+
+def pack_delta_g_into(plane_u16: np.ndarray, words: np.ndarray,
+                      esc_idx: np.ndarray, esc_val32: np.ndarray, *,
+                      two_d: bool = True, bits: int = 5, shift: int = 0,
+                      base: int = 512) -> bool:
+    """General delta wire pack (uhdr_pack_delta_g): raw u16 samples
+    (shift=0) or MSB-aligned 10-bit (shift=6), int32 escape values (raw
+    u16 2D deltas span 18 bits).  False on escape overflow."""
+    lib = get_lib()
+    p = np.ascontiguousarray(plane_u16, np.uint16)
+    rows, cols = p.shape
+    esc_idx[:] = np.int32(1 << 30)
+    esc_val32[:] = 0
+    n = lib.uhdr_pack_delta_g(p.ctypes.data, rows, cols, 0,
+                              int(bool(two_d)), int(bits), int(shift),
+                              int(base), words.ctypes.data,
+                              esc_idx.ctypes.data, esc_val32.ctypes.data,
+                              esc_idx.size)
+    return n >= 0
+
+
+def pack_slices_into(flat_i16: np.ndarray, bits: int, words: np.ndarray,
+                     esc_idx: np.ndarray, esc_val: np.ndarray) -> bool:
+    """Bit-slice a flat int16 stream at `bits`/sample with escapes (the
+    decode coefficient wire; uhdr_pack_slices).  Buffers are caller-owned
+    views into one coalesced blob; escape capacity = esc_idx.size.  False
+    when the escape list overflows."""
+    lib = get_lib()
+    a = np.ascontiguousarray(flat_i16, np.int16)
+    esc_idx[:] = np.int32(1 << 30)
+    esc_val[:] = 0
+    n = lib.uhdr_pack_slices(a.ctypes.data, a.size, int(bits),
+                             words.ctypes.data, esc_idx.ctypes.data,
+                             esc_val.ctypes.data, esc_idx.size)
+    return n >= 0
 
 
 def pack_delta7(plane: np.ndarray, uv_interleaved: bool, *,

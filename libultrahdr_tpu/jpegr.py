@@ -687,9 +687,19 @@ class JpegR:
                 p["primary"], p["pinfo"])
             gm_coeffs, gm_qts, _ = fused_mod.decode_coefficients(
                 p["gm"], p["gm_info"])
-            blob = fused_mod.pack_coeff_wire(base_coeffs + gm_coeffs)
+            planes = base_coeffs + gm_coeffs
+            blob, kind = None, None
+            for pack, k in ((fused_mod.pack_coeff_wire4, "i4"),
+                            (fused_mod.pack_coeff_wire, "i8")):
+                blob = pack(planes)
+                if blob is not None:
+                    kind = k
+                    break
             if blob is None:
                 continue
+            if batch_idx and parsed[batch_idx[0]]["wire"] != kind:
+                continue        # one program per group: uniform wire kind
+            p["wire"] = kind
             p["shapes"] = tuple(c.shape[:2] for c in base_coeffs) \
                 + tuple(c.shape[:2] for c in gm_coeffs)
             p["n_base"] = len(base_coeffs)
@@ -714,7 +724,7 @@ class JpegR:
                 h=p0["h"], w=p0["w"], sampling_key=p0["key"],
                 gm_channels=p0["gm_channels"], scale_k=p0["scale_k"],
                 out_ct=output_ct, sdr_cg=p0["s_cg"], hdr_cg=p0["h_cg"],
-                use_base_cg=p0["use_base_cg"])
+                use_base_cg=p0["use_base_cg"], wire=p0["wire"])
             for k, i in enumerate(batch_idx):
                 results[i] = (packed[k], parsed[i]["metadata"])
 
@@ -918,15 +928,39 @@ class JpegR:
         weight = apply_ops.gainmap_weight(
             max_display_boost, float(metadata.hdr_capacity_min),
             float(metadata.hdr_capacity_max))
-        packed, gm_u8 = fused_mod._fused_decode(
-            fused_mod.upload_coeff_planes(base_coeffs),
-            [jnp.asarray(q) for q in base_qts],
-            fused_mod.upload_coeff_planes(gm_coeffs),
-            [jnp.asarray(q) for q in gm_qts],
-            apply_ops.metadata_to_arrays(metadata), np.float32(weight),
-            h=h, w=w, sampling_key=key, gm_channels=gm_info.num_components,
-            scale_k=scale_k, out_ct=output_ct, sdr_cg=s_cg, hdr_cg=h_cg,
-            use_base_cg=bool(metadata.use_base_cg))
+        # coalesced single-blob upload (1 transfer; the link pays ~40 ms
+        # fixed latency each): 4-bit AC wire, then int8, then per-plane
+        planes = base_coeffs + gm_coeffs
+        blob, kind = None, None
+        for pack, k in ((fused_mod.pack_coeff_wire4, "i4"),
+                        (fused_mod.pack_coeff_wire, "i8")):
+            blob = pack(planes)
+            if blob is not None:
+                kind = k
+                break
+        if blob is not None:
+            qts = np.stack([np.asarray(q, np.int32)
+                            for q in base_qts + gm_qts])
+            packed, gm_u8 = fused_mod._fused_decode_wire(
+                jnp.asarray(np.frombuffer(blob, np.uint8)),
+                jnp.asarray(qts),
+                apply_ops.metadata_to_arrays(metadata), np.float32(weight),
+                plane_shapes=tuple(c.shape[:2] for c in planes),
+                n_base=len(base_coeffs), h=h, w=w, sampling_key=key,
+                gm_channels=gm_info.num_components, scale_k=scale_k,
+                out_ct=output_ct, sdr_cg=s_cg, hdr_cg=h_cg,
+                use_base_cg=bool(metadata.use_base_cg), wire=kind)
+        else:
+            packed, gm_u8 = fused_mod._fused_decode(
+                fused_mod.upload_coeff_planes(base_coeffs),
+                [jnp.asarray(q) for q in base_qts],
+                fused_mod.upload_coeff_planes(gm_coeffs),
+                [jnp.asarray(q) for q in gm_qts],
+                apply_ops.metadata_to_arrays(metadata), np.float32(weight),
+                h=h, w=w, sampling_key=key,
+                gm_channels=gm_info.num_components, scale_k=scale_k,
+                out_ct=output_ct, sdr_cg=s_cg, hdr_cg=h_cg,
+                use_base_cg=bool(metadata.use_base_cg))
         return packed, gm_u8, h_cg
 
     def apply_gainmap(self, sdr: RawImage, gain_u8: np.ndarray, gm_cg,

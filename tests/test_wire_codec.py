@@ -145,6 +145,79 @@ def test_wire_mode_parse(monkeypatch):
     assert fused._WIRE_LADDER[0] == (True, 4, 8192)
 
 
+def _rgba1010102_img(seed=40):
+    rs = np.random.RandomState(seed)
+    base = _smooth_plane(H, W, seed=seed) >> 6        # 10-bit values
+    r = base
+    g = np.clip(base + rs.randint(-3, 4, base.shape), 0, 1023)
+    b = np.clip(1023 - base, 0, 1023)
+    p = (r.astype(np.uint32) | (g.astype(np.uint32) << 10)
+         | (b.astype(np.uint32) << 20) | np.uint32(0x3) << 30)
+    return RawImage(ImgFmt.RGBA1010102, ColorGamut.BT2100, ColorTransfer.HLG,
+                    ColorRange.FULL, W, H, [np.ascontiguousarray(p)])
+
+
+def _rgbaf16_img(seed=41):
+    vals = (_smooth_plane(H, W, seed=seed) >> 6).astype(np.float32) / 1023.0
+    comp = np.empty((H, W, 4), np.float16)
+    comp[..., 0] = vals.astype(np.float16)
+    comp[..., 1] = (vals * 0.5).astype(np.float16)
+    comp[..., 2] = (1.0 - vals).astype(np.float16)
+    comp[..., 3] = np.float16(1.0)
+    return RawImage(ImgFmt.RGBAF16, ColorGamut.BT2100, ColorTransfer.LINEAR,
+                    ColorRange.FULL, W, H,
+                    [np.ascontiguousarray(comp).view(np.uint16)])
+
+
+@pytest.mark.parametrize("make_img", [_rgba1010102_img, _rgbaf16_img])
+def test_rgb_wire_byte_invisible(monkeypatch, make_img):
+    """RGB-input uploads through the delta wire produce byte-identical
+    JPEG_R files to the raw upload path."""
+    img = make_img()
+    jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
+               preset=EncPreset.REALTIME)
+    via_wire = jr.encode_api0(img, quality=92)
+    monkeypatch.setattr(fused, "pack_rgb_wire", lambda *a, **k: None)
+    via_raw = jr.encode_api0(img, quality=92)
+    assert via_wire == via_raw
+
+
+def test_rgb_wire_varying_alpha_falls_back():
+    img = _rgba1010102_img()
+    p = img.planes[0].copy()
+    p[0, 0] &= np.uint32(0x3FFFFFFF)        # one transparent pixel
+    assert fused.pack_rgb_wire(p, ImgFmt.RGBA1010102, 5) is None
+
+
+def test_coeff_wire4_roundtrip():
+    """The 4-bit coefficient wire (decode upload) is lossless through
+    pack_coeff_wire4 -> _unpack_coeff_wire4, including escapes."""
+    rs = np.random.RandomState(5)
+    shapes = [(6, 10), (3, 5)]
+    planes = []
+    for bh, bw in shapes:
+        c = np.zeros((bh, bw, 64), np.int16)
+        c[..., 0] = rs.randint(-500, 500, (bh, bw))
+        c[..., 1:20] = rs.randint(-6, 7, (bh, bw, 19))   # in-range ACs
+        c[0, 0, 30] = 900                                 # escapes
+        c[-1, -1, 63] = -1023
+        planes.append(c)
+    blob = fused.pack_coeff_wire4(planes)
+    assert blob is not None
+    out = fused._unpack_coeff_wire4(
+        jnp.asarray(np.frombuffer(blob, np.uint8)),
+        tuple(s for s in shapes))
+    for c, o in zip(planes, out):
+        np.testing.assert_array_equal(np.asarray(o), c.astype(np.int32))
+
+
+def test_coeff_wire4_overflow_returns_none():
+    rs = np.random.RandomState(6)
+    c = np.zeros((64, 64, 64), np.int16)
+    c[..., 1:] = rs.randint(-200, 200, (64, 64, 63))   # ~92% escape rate
+    assert fused.pack_coeff_wire4([c]) is None
+
+
 def test_fused_encode_identical_across_wire_paths(monkeypatch):
     """The wire codec must be invisible: fused API-0 bytes are identical
     whether the input travelled delta7-packed or dense-10-bit-packed."""

@@ -182,6 +182,21 @@ def encode_natives() -> None:
         native.pack_p010_10bit(plane)
         native.pack_delta7(plane, uv_interleaved=False)
         native.pack_delta7(plane, uv_interleaved=True)
+        # generalized wire modes (2D predictor, 2..8-bit codes) and the
+        # decode-side coefficient slicer, including the escape-overflow
+        # and padded-tail paths
+        for two_d in (False, True):
+            for bits in (2, 4, 5, 8):
+                native.pack_delta7(plane, uv_interleaved=bool(bits & 1),
+                                   two_d=two_d, bits=bits)
+        flat = rs.randint(-1024, 1024,
+                          int(rs.randint(1, 200))).astype(np.int16)
+        for bits in (2, 4, 8):
+            g = -(-flat.size // 32)
+            words = np.empty((g, bits), np.uint32)
+            ei = np.empty(64, np.int32)
+            ev = np.empty(64, np.int16)
+            native.pack_slices_into(flat, bits, words, ei, ev)
     print("encode-side natives clean")
 
 
