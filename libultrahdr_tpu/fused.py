@@ -184,13 +184,14 @@ def _delta7_wire_layout(h: int, w: int):
 # wire first; each rung is its own compiled program variant, but a given
 # content type settles on one rung (photographic: the first).
 _WIRE_1D7 = (False, 7, native.DELTA7_ESC_CAP)
-_WIRE_LADDER = ((True, 4, 8192), (True, 5, 8192),
+_WIRE_LADDER = ((True, 3, 8192), (True, 4, 8192), (True, 5, 8192),
                 (True, 6, native.DELTA7_ESC_CAP), _WIRE_1D7)
 
 
 def _wire_mode():
     """Upload wire mode from UHDR_TPU_WIRE: 'auto' (default; try the
-    ladder 2d4/8k -> 2d5/8k -> 2d6 -> 1d7, smallest wire that fits wins),
+    ladder 2d3/8k -> 2d4/8k -> 2d5/8k -> 2d6 -> 1d7, smallest wire that
+    fits wins),
     '1d7' (the original delta7), or any '1dN'/'2dN' with N in 2..8.
     Escape-overflow falls through the ladder and finally to the dense
     10-bit pack, so the mode is a pure perf knob (wire choice is
@@ -502,6 +503,132 @@ def _fused_api0_rgb_wire(buf, *, fmt: ImgFmt, h: int, w: int,
                            gamma=gamma, quality=quality,
                            map_quality=map_quality,
                            use_base_cg=use_base_cg)
+
+
+# ---------------------------------------------------------------------------
+# API-1 upload wire: HDR P010 + SDR YUV420 travel as 2D-delta bit-sliced
+# planes in ONE u32 buffer (five planes, one h2d transfer; the tunnel link
+# pays ~40 ms fixed latency per transfer and binds the pipeline).  The HDR
+# planes reuse the P010 codec (shift=6, i16 escapes); the 8-bit SDR planes
+# ride the general codec (shift=0, base=128, i32 escapes).  Escape
+# overflow in any plane falls back one rung, finally to the raw upload —
+# the wire is byte-invisible in the JPEG_R output.
+
+# tone-mapped SDR planes are much smoother than their HDR source (~700
+# escapes at 2d3 on the 12 MP photographic mosaic), so the SDR rung sits
+# at or below the HDR rung
+_API1_LADDER = ((3, 3), (4, 3), (5, 4), (6, 6))   # (hdr_bits, sdr_bits)
+_API1_ESC = 8192    # per-plane escape capacity (photographic: <1000)
+
+
+def _api1_wire_ladder():
+    """UHDR_TPU_WIRE_API1: 'auto' (ladder, default), 'raw' (disable), or
+    'hNsM' (one pinned rung + raw fallback)."""
+    import os
+    m = os.environ.get("UHDR_TPU_WIRE_API1", "auto").strip().lower()
+    if m == "raw":
+        return ()
+    if m == "auto":
+        return _API1_LADDER
+    try:
+        hi = m.index("h") + 1
+        si = m.index("s")
+        hb, sb = int(m[hi:si]), int(m[si + 1:])
+        if not (2 <= hb <= 8 and 2 <= sb <= 8):
+            raise ValueError(m)
+        return ((hb, sb),)
+    except (ValueError, IndexError):
+        return _API1_LADDER
+
+
+def _api1_wire_layout(h: int, w: int, hb: int, sb: int,
+                      cap: int = _API1_ESC):
+    """Word offsets: the P010 section (_delta_wire_layout) followed by
+    [sdr y words][sdr u words][sdr v words] and three (esc_idx i32,
+    esc_val i32) pairs, one per SDR plane."""
+    offs = list(_delta_wire_layout(h, w, hb, cap))
+    ny = -(-(h * w) // 32) * sb
+    nc = -(-((h // 2) * (w // 2)) // 32) * sb
+    offs.append(offs[-1] + ny)
+    offs.append(offs[-1] + nc)
+    offs.append(offs[-1] + nc)
+    for _ in range(3):
+        offs.append(offs[-1] + cap)      # esc_idx (i32)
+        offs.append(offs[-1] + cap)      # esc_val (i32)
+    return offs
+
+
+def pack_api1_wire(hdr_y: np.ndarray, hdr_uv: np.ndarray, sdr_planes,
+                   hb: int, sb: int):
+    """Host half: all five API-1 planes into one wire buffer, or None on
+    escape overflow in any plane (caller falls back a rung / to raw)."""
+    h, w = hdr_y.shape
+    if hdr_uv.shape != (h // 2, w):
+        return None
+    o = _api1_wire_layout(h, w, hb, sb)
+    buf = np.empty(o[-1], np.uint32)
+    ok = native.pack_delta_into(
+        hdr_y, False, buf[o[0]:o[1]].reshape(-1, hb),
+        buf[o[2]:o[3]].view(np.int32), buf[o[3]:o[4]].view(np.int16),
+        two_d=True, bits=hb)
+    ok = ok and native.pack_delta_into(
+        hdr_uv, True, buf[o[1]:o[2]].reshape(-1, hb),
+        buf[o[4]:o[5]].view(np.int32), buf[o[5]:o[6]].view(np.int16),
+        two_d=True, bits=hb)
+    for i, p in enumerate(sdr_planes):
+        ok = ok and native.pack_delta_g_into(
+            np.ascontiguousarray(p, np.uint16),
+            buf[o[6 + i]:o[7 + i]].reshape(-1, sb),
+            buf[o[9 + 2 * i]:o[10 + 2 * i]].view(np.int32),
+            buf[o[10 + 2 * i]:o[11 + 2 * i]].view(np.int32),
+            two_d=True, bits=sb, shift=0, base=128)
+    return buf if ok else None
+
+
+def _decode_api1_wire(buf, h: int, w: int, hb: int, sb: int):
+    """Device half: exact (hdr_y, hdr_uv, [sdr_y, sdr_u, sdr_v])."""
+    o = _api1_wire_layout(h, w, hb, sb)
+    bc = jax.lax.bitcast_convert_type
+    hy = _delta_decode_plane(
+        buf[o[0]:o[1]].reshape(-1, hb), bc(buf[o[2]:o[3]], jnp.int32),
+        bc(buf[o[3]:o[4]], jnp.int16).reshape(-1), h, w, False, hb, True)
+    huv = _delta_decode_plane(
+        buf[o[1]:o[2]].reshape(-1, hb), bc(buf[o[4]:o[5]], jnp.int32),
+        bc(buf[o[5]:o[6]], jnp.int16).reshape(-1), h // 2, w, True, hb,
+        True)
+    sdr = []
+    for i, (ph, pw) in enumerate(((h, w), (h // 2, w // 2),
+                                  (h // 2, w // 2))):
+        p = _delta_decode_plane(
+            buf[o[6 + i]:o[7 + i]].reshape(-1, sb),
+            bc(buf[o[9 + 2 * i]:o[10 + 2 * i]], jnp.int32),
+            bc(buf[o[10 + 2 * i]:o[11 + 2 * i]], jnp.int32),
+            ph, pw, False, sb, True, base=128, shift=0)
+        sdr.append(p.astype(jnp.uint8))
+    return hy, huv, sdr
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "hdr_cg", "sdr_cg", "ct", "rng", "scale", "multichannel",
+    "gamma", "quality", "map_quality", "use_base_cg", "use_luminance",
+    "one_pass", "hb", "sb"))
+def _fused_api1_p010_yuv420_wire(buf, *, h: int, w: int,
+                                 hdr_cg: ColorGamut, sdr_cg: ColorGamut,
+                                 ct: ColorTransfer, rng: ColorRange,
+                                 scale: int, multichannel: bool,
+                                 gamma: float, quality: int,
+                                 map_quality: int, use_base_cg: bool,
+                                 use_luminance: bool, one_pass: bool,
+                                 hb: int, sb: int):
+    """_fused_api1 on the five-plane delta-wire upload (~2.5x fewer
+    bytes than the raw P010 + I420 planes)."""
+    hy, huv, sdr = _decode_api1_wire(buf, h, w, hb, sb)
+    return _fused_api1(
+        hy, huv, *sdr, hdr_fmt=ImgFmt.P010, sdr_fmt=ImgFmt.YUV420, h=h,
+        w=w, hdr_cg=hdr_cg, sdr_cg=sdr_cg, ct=ct, rng=rng, scale=scale,
+        multichannel=multichannel, gamma=gamma, quality=quality,
+        map_quality=map_quality, use_base_cg=use_base_cg,
+        use_luminance=use_luminance, one_pass=one_pass)
 
 
 def _pack_gainmap(gm, multichannel: bool, map_quality: int):
@@ -989,6 +1116,161 @@ def _fused_decode_wire(blob, qts, meta_arrays, weight, *,
         sdr_cg=sdr_cg, hdr_cg=hdr_cg, use_base_cg=use_base_cg)
 
 
+# ---------------------------------------------------------------------------
+# Decode-output DOWNLOAD wire: when decode() leaves its output on host, the
+# decoded image (33 MB RGBA1010102 at 4K) is the path's dominant transfer.
+# The device bit-slices each channel's 2D deltas (the same filter as the
+# upload wire, jpeg_entropy.cpp uhdr_pack_delta_g) with escapes gathered by
+# a static-size nonzero; the host's native uhdr_unpack_delta2d reverses it.
+# Per-channel escape counts ride in the buffer tail — on overflow the
+# caller re-downloads raw, so the wire is value-invisible.
+
+_DOWN_ESC = 8192
+
+
+def _down_wire_bits(default: int = 4) -> int:
+    """UHDR_TPU_WIRE_DOWN: 'auto' (default: 4 bits/sample/channel for
+    RGBA1010102, 8 for RGBAF16 — f16 bit patterns are log-domain, so JPEG
+    code noise maps to wider deltas), 'raw' (disable), or '2'..'8'."""
+    import os
+    m = os.environ.get("UHDR_TPU_WIRE_DOWN", "auto").strip().lower()
+    if m == "raw":
+        return 0
+    if m.isdigit() and 2 <= int(m) <= 8:
+        return int(m)
+    return default
+
+
+def _down_delta_sections(ch, bits: int, cap: int, base: int):
+    """ch (h, w) int32 -> (words u32, esc_idx u32-bitcast, esc_val
+    u32-bitcast, count i32 scalar): the exact device mirror of the host
+    encoder uhdr_pack_delta_g (vertical diff from `base`, then horizontal
+    diff restarting at 0 per row)."""
+    h, w = ch.shape
+    n = h * w
+    t = jnp.concatenate([ch[:1] - base, ch[1:] - ch[:-1]], axis=0)
+    d = jnp.concatenate([t[:, :1], t[:, 1:] - t[:, :-1]], axis=1)
+    flat = d.reshape(-1)
+    half = 1 << (bits - 1)
+    code = flat + half
+    oob = (code < 0) | (code >= (1 << bits))
+    idx = jnp.nonzero(oob, size=cap, fill_value=n)[0].astype(jnp.int32)
+    val = flat.at[idx].get(mode="fill", fill_value=0)
+    count = oob.sum(dtype=jnp.int32)
+    codeu = jnp.where(oob, half, code).astype(jnp.uint32)
+    pad = (-n) % 32
+    if pad:
+        codeu = jnp.concatenate(
+            [codeu, jnp.full((pad,), half, jnp.uint32)])
+    grp = codeu.reshape(-1, 32)
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    ws = [jnp.sum(((grp >> j) & 1) << lanes, axis=1, dtype=jnp.uint32)
+          for j in range(bits)]
+    words = jnp.stack(ws, axis=1).reshape(-1)
+    bc = jax.lax.bitcast_convert_type
+    return words, bc(idx, jnp.uint32), bc(val, jnp.uint32), count
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bits", "cap"))
+def _pack_down_wire_1010102(packed, *, h: int, w: int, bits: int,
+                            cap: int = _DOWN_ESC):
+    """(h, w) u32 RGBA1010102 -> one u32 wire buffer: three channel
+    sections of [words][esc_idx][esc_val], then the three counts."""
+    secs, counts = [], []
+    for s in (0, 10, 20):
+        ch = ((packed >> s) & jnp.uint32(0x3FF)).astype(jnp.int32)
+        words, idx, val, cnt = _down_delta_sections(ch, bits, cap, 512)
+        secs += [words, idx, val]
+        counts.append(cnt)
+    tail = jax.lax.bitcast_convert_type(jnp.stack(counts), jnp.uint32)
+    return jnp.concatenate(secs + [tail])
+
+
+def unpack_down_wire_1010102(buf: np.ndarray, h: int, w: int, bits: int,
+                             cap: int = _DOWN_ESC):
+    """Host half: the downloaded wire -> (h, w) u32 RGBA1010102 (alpha 3),
+    or None when a channel's escapes overflowed."""
+    n = h * w
+    nw = -(-n // 32) * bits
+    sec = nw + 2 * cap
+    counts = buf[3 * sec:3 * sec + 3].view(np.int32)
+    if (counts > cap).any() or (counts < 0).any():
+        return None
+    out = np.full((h, w), np.uint32(0x3) << 30, np.uint32)
+    for i, s in enumerate((0, 10, 20)):
+        o = i * sec
+        ch = native.unpack_delta2d(
+            buf[o:o + nw], buf[o + nw:o + nw + cap].view(np.int32),
+            buf[o + nw + cap:o + sec].view(np.int32), int(counts[i]),
+            h, w, bits, 512)
+        out |= ch.astype(np.uint32) << s
+    return out
+
+
+def fetch_packed_1010102(packed_dev, *, h: int, w: int) -> np.ndarray:
+    """Download a device-resident RGBA1010102 decode output, through the
+    delta wire when enabled and the content fits (2.7x fewer bytes at the
+    default 4 bits), raw otherwise."""
+    bits = _down_wire_bits()
+    if bits:
+        wire = _pack_down_wire_1010102(packed_dev, h=h, w=w, bits=bits)
+        out = unpack_down_wire_1010102(np.asarray(wire), h, w, bits)
+        if out is not None:
+            return out
+    return np.asarray(packed_dev)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bits", "cap"))
+def _pack_down_wire_f16(comp, *, h: int, w: int, bits: int,
+                        cap: int = _DOWN_ESC):
+    """(h, w, 4) u16 RGBAF16 bits (alpha constant half(1.0), as
+    ops/pixel.pack_rgbaf16 emits) -> one u32 wire buffer with the
+    _pack_down_wire_1010102 layout: three channel sections of
+    [words][esc_idx][esc_val], then the three counts."""
+    secs, counts = [], []
+    for i in range(3):
+        ch = comp[..., i].astype(jnp.int32)
+        words, idx, val, cnt = _down_delta_sections(ch, bits, cap, 512)
+        secs += [words, idx, val]
+        counts.append(cnt)
+    tail = jax.lax.bitcast_convert_type(jnp.stack(counts), jnp.uint32)
+    return jnp.concatenate(secs + [tail])
+
+
+def unpack_down_wire_f16(buf: np.ndarray, h: int, w: int, bits: int,
+                         cap: int = _DOWN_ESC):
+    """Host half: the downloaded wire -> (h, w, 4) u16 RGBAF16 bits
+    (alpha half(1.0)), or None when a channel's escapes overflowed."""
+    n = h * w
+    nw = -(-n // 32) * bits
+    sec = nw + 2 * cap
+    counts = buf[3 * sec:3 * sec + 3].view(np.int32)
+    if (counts > cap).any() or (counts < 0).any():
+        return None
+    out = np.empty((h, w, 4), np.uint16)
+    out[..., 3] = 0x3C00
+    for i in range(3):
+        o = i * sec
+        out[..., i] = native.unpack_delta2d(
+            buf[o:o + nw], buf[o + nw:o + nw + cap].view(np.int32),
+            buf[o + nw + cap:o + sec].view(np.int32), int(counts[i]),
+            h, w, bits, 512)
+    return out
+
+
+def fetch_packed_f16(packed_dev, *, h: int, w: int) -> np.ndarray:
+    """Download a device-resident RGBAF16 decode output through the delta
+    wire when enabled and the content fits (2.7x fewer bytes at the f16
+    default of 8 bits/sample/channel), raw otherwise."""
+    bits = _down_wire_bits(default=8)
+    if bits:
+        wire = _pack_down_wire_f16(packed_dev, h=h, w=w, bits=bits)
+        out = unpack_down_wire_f16(np.asarray(wire), h, w, bits)
+        if out is not None:
+            return out
+    return np.asarray(packed_dev)
+
+
 def decode_coefficients(data: bytes, info):
     """Host Huffman decode to MCU-padded coefficient arrays + natural-order
     quant tables per component (the jpeg/decoder.py front half, without the
@@ -1247,24 +1529,36 @@ def encode_api1_fused(jr, hdr, sdr, quality: int,
     use_base_cg = _use_base_cg(sdr_cg, hdr_cg, jr.write_xmp)
     one_pass = EncPreset(jr.preset) == EncPreset.REALTIME
 
-    if hdr_fmt == ImgFmt.P010:
-        hdr_a, hdr_b = jnp.asarray(hdr.planes[0]), jnp.asarray(hdr.planes[1])
-    else:
-        hdr_a = jnp.asarray(hdr.planes[0])
-        hdr_b = jnp.zeros((1, 1), jnp.uint16)
-    if sdr_fmt == ImgFmt.YUV420:
-        sdr_in = [jnp.asarray(p) for p in sdr.planes[:3]]
-    else:
-        z = jnp.zeros((1, 1), jnp.uint8)
-        sdr_in = [jnp.asarray(sdr.planes[0]), z, z]
-
-    out = _fused_api1(
-        hdr_a, hdr_b, *sdr_in, hdr_fmt=hdr_fmt, sdr_fmt=sdr_fmt,
-        h=hdr.h, w=hdr.w, hdr_cg=hdr_cg, sdr_cg=sdr_cg, ct=ct, rng=rng,
-        scale=scale, multichannel=jr.use_multi_channel_gainmap,
-        gamma=jr.gamma, quality=int(quality),
-        map_quality=jr.map_compress_quality, use_base_cg=use_base_cg,
-        use_luminance=True, one_pass=one_pass)
+    common = dict(h=hdr.h, w=hdr.w, hdr_cg=hdr_cg, sdr_cg=sdr_cg, ct=ct,
+                  rng=rng, scale=scale,
+                  multichannel=jr.use_multi_channel_gainmap,
+                  gamma=jr.gamma, quality=int(quality),
+                  map_quality=jr.map_compress_quality,
+                  use_base_cg=use_base_cg, use_luminance=True,
+                  one_pass=one_pass)
+    out = None
+    if hdr_fmt == ImgFmt.P010 and sdr_fmt == ImgFmt.YUV420:
+        for hb, sb in _api1_wire_ladder():   # smallest wire that fits wins
+            wire = pack_api1_wire(hdr.planes[0], hdr.planes[1],
+                                  sdr.planes[:3], hb, sb)
+            if wire is not None:
+                out = _fused_api1_p010_yuv420_wire(jnp.asarray(wire),
+                                                   hb=hb, sb=sb, **common)
+                break
+    if out is None:                          # raw five-plane upload
+        if hdr_fmt == ImgFmt.P010:
+            hdr_a = jnp.asarray(hdr.planes[0])
+            hdr_b = jnp.asarray(hdr.planes[1])
+        else:
+            hdr_a = jnp.asarray(hdr.planes[0])
+            hdr_b = jnp.zeros((1, 1), jnp.uint16)
+        if sdr_fmt == ImgFmt.YUV420:
+            sdr_in = [jnp.asarray(p) for p in sdr.planes[:3]]
+        else:
+            z = jnp.zeros((1, 1), jnp.uint8)
+            sdr_in = [jnp.asarray(sdr.planes[0]), z, z]
+        out = _fused_api1(hdr_a, hdr_b, *sdr_in, hdr_fmt=hdr_fmt,
+                          sdr_fmt=sdr_fmt, **common)
 
     if one_pass:
         base_words, base_blen_d, gm_words, gm_blen_d = out

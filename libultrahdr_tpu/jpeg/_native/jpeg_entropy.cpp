@@ -317,6 +317,52 @@ int64_t uhdr_pack_slices(const int16_t* in, int64_t n, int bits,
   return n_esc;
 }
 
+// Host half of the decode-output DOWNLOAD wire (fused._pack_down_wire_*):
+// the device bit-slices each output channel's 2D deltas (vertical diff
+// from base, then horizontal diff, same filter as uhdr_pack_delta_g) and
+// the 33-66 MB decoded image crosses the link at `bits`/sample/channel.
+// This reverses one channel: un-slice, patch escapes (ascending flat
+// indices, as jnp.nonzero emits), integrate, write u16 samples.
+int64_t uhdr_unpack_delta2d(const uint32_t* words, const int32_t* esc_idx,
+                            const int32_t* esc_val, int64_t n_esc,
+                            int64_t rows, int64_t cols, int bits,
+                            int32_t base, uint16_t* out) {
+  if (bits < 2 || bits > 8) return -2;
+  int64_t n = rows * cols;
+  const int32_t offs = 1 << (bits - 1);
+  std::vector<uint8_t> codes((size_t)(((n + 31) / 32) * 32));
+  int64_t groups = (n + 31) / 32;
+  for (int64_t g = 0; g < groups; g++) {
+    const uint32_t* w = words + g * bits;
+    uint8_t* dst = codes.data() + g * 32;
+    for (int i = 0; i < 32; i++) {
+      uint32_t c = 0;
+      for (int j = 0; j < bits; j++) c |= ((w[j] >> i) & 1u) << j;
+      dst[i] = (uint8_t)c;
+    }
+  }
+  std::vector<int32_t> prev_row((size_t)cols, base);
+  int64_t e = 0;
+  for (int64_t r = 0; r < rows; r++) {
+    const uint8_t* src = codes.data() + r * cols;
+    uint16_t* dst = out + r * cols;
+    int32_t t = 0;
+    for (int64_t c = 0; c < cols; c++) {
+      int32_t d;
+      if (e < n_esc && esc_idx[e] == (int32_t)(r * cols + c)) {
+        d = esc_val[e++];
+      } else {
+        d = (int32_t)src[c] - offs;
+      }
+      t += d;
+      int32_t v = prev_row[(size_t)c] + t;
+      prev_row[(size_t)c] = v;
+      dst[c] = (uint16_t)v;
+    }
+  }
+  return e;
+}
+
 // Finalize a device-packed scan: byte-stuff each restart row and join rows
 // with RST markers.  `in` holds mcus_h byte-aligned row segments laid out
 // back to back (offsets in row_off[0..n_rows], bytes); the TPU produced the

@@ -116,6 +116,11 @@ def get_lib():
             lib.uhdr_idct_plane.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_unpack_delta2d.restype = ctypes.c_int64
+            lib.uhdr_unpack_delta2d.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int32, ctypes.c_void_p]
             lib.uhdr_apply_gainmap_host.restype = ctypes.c_int
             lib.uhdr_apply_gainmap_host.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
@@ -126,6 +131,25 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
             _LIB = lib
     return _LIB
+
+
+def unpack_delta2d(words: np.ndarray, esc_idx: np.ndarray,
+                   esc_val: np.ndarray, n_esc: int, rows: int, cols: int,
+                   bits: int, base: int) -> np.ndarray:
+    """Host half of the download wire: un-slice one channel's 2D-delta
+    codes (device-packed by fused._pack_down_wire_*) into (rows, cols)
+    u16 samples.  Escape indices must be ascending (jnp.nonzero order)."""
+    lib = get_lib()
+    w = np.ascontiguousarray(words, np.uint32)
+    ei = np.ascontiguousarray(esc_idx, np.int32)
+    ev = np.ascontiguousarray(esc_val, np.int32)
+    out = np.empty((rows, cols), np.uint16)
+    r = lib.uhdr_unpack_delta2d(w.ctypes.data, ei.ctypes.data,
+                                ev.ctypes.data, int(n_esc), rows, cols,
+                                int(bits), int(base), out.ctypes.data)
+    if r < 0:
+        raise ValueError(f"unpack_delta2d failed: {r}")
+    return out
 
 
 def idct_plane(coeffs: np.ndarray, qt_natural: np.ndarray) -> np.ndarray:

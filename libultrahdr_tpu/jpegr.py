@@ -865,7 +865,13 @@ class JpegR:
         output_ct = ColorTransfer(output_ct)
         w, h = pinfo.width, pinfo.height
         mw, mh = gm_info.width, gm_info.height
-        packed = _to_np(packed_dev)
+        # the decoded image rides the download delta wire (the decode
+        # path's dominant transfer, 2.7x fewer bytes); raw on overflow
+        from . import fused as fused_mod
+        if output_ct == ColorTransfer.LINEAR:
+            packed = fused_mod.fetch_packed_f16(packed_dev, h=h, w=w)
+        else:
+            packed = fused_mod.fetch_packed_1010102(packed_dev, h=h, w=w)
         gm_u8 = _to_np(gm_dev)
         if output_ct == ColorTransfer.LINEAR:
             dest = RawImage(ImgFmt.RGBAF16, h_cg, output_ct, ColorRange.FULL,

@@ -85,7 +85,7 @@ def test_batched_pipeline_matches_single(monkeypatch):
 
 
 @pytest.mark.parametrize("two_d,bits", [(True, 5), (True, 6), (True, 4),
-                                        (False, 6), (True, 8)])
+                                        (False, 6), (True, 8), (True, 3)])
 def test_delta_roundtrip_modes(two_d, bits):
     """Generalized wire (2D predictor / variable code width) is lossless
     through pack -> device decode for every supported mode."""
@@ -142,7 +142,7 @@ def test_wire_mode_parse(monkeypatch):
     assert fused._wire_mode() == (fused._WIRE_1D7,)
     monkeypatch.delenv("UHDR_TPU_WIRE")
     assert fused._wire_mode() == fused._WIRE_LADDER
-    assert fused._WIRE_LADDER[0] == (True, 4, 8192)
+    assert fused._WIRE_LADDER[0] == (True, 3, 8192)
 
 
 def _rgba1010102_img(seed=40):
@@ -231,3 +231,224 @@ def test_fused_encode_identical_across_wire_paths(monkeypatch):
     monkeypatch.setattr(fused, "pack_delta7_wire", lambda *a, **k: None)
     via_dense = jr.encode_api0(img, quality=92)
     assert via_delta == via_dense
+
+
+def _lowpass_plane(h, w, seed=0):
+    """Photographic-like content for the narrow rungs: smooth gradients
+    plus step edges — escapes cluster at the edges (a few hundred), well
+    inside the 8192 cap even at 3 bits/sample."""
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    v = 400 + 250 * np.sin(xx / 37.0 + seed) + 150 * np.cos(yy / 23.0)
+    v[:, w // 3:] += 400
+    v[h // 2:, :] -= 300
+    return (np.clip(v, 0, 1023).astype(np.uint16) << 6)
+
+
+def _api1_pair(seed=50, lowpass=False):
+    mk = _lowpass_plane if lowpass else _smooth_plane
+    y = mk(H, W, seed=seed)
+    uv = mk(H // 2, W, seed=seed + 1)
+    hdr = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, W, H, [y, uv])
+    sdr = JpegR().tone_map(hdr)
+    return hdr, sdr
+
+
+@pytest.mark.parametrize("hb,sb", [(3, 3), (4, 3), (5, 4), (6, 6)])
+def test_api1_wire_roundtrip(hb, sb):
+    """All five API-1 planes reconstruct exactly through the single-buffer
+    wire (HDR P010 shift-6 codec + SDR u8 general codec)."""
+    hdr, sdr = _api1_pair(lowpass=hb < 5)
+    buf = fused.pack_api1_wire(hdr.planes[0], hdr.planes[1],
+                               sdr.planes[:3], hb, sb)
+    assert buf is not None
+    hy, huv, sp = fused._decode_api1_wire(jnp.asarray(buf), H, W, hb, sb)
+    np.testing.assert_array_equal(np.asarray(hy),
+                                  hdr.planes[0] & np.uint16(0xFFC0))
+    np.testing.assert_array_equal(np.asarray(huv),
+                                  hdr.planes[1] & np.uint16(0xFFC0))
+    for got, want in zip(sp, sdr.planes[:3]):
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("preset", [EncPreset.REALTIME,
+                                    EncPreset.BEST_QUALITY])
+def test_api1_wire_byte_invisible(monkeypatch, preset):
+    """encode_api1 output is identical whether the five planes travelled
+    the delta wire or raw (both presets: one-pass and two-pass)."""
+    hdr, sdr = _api1_pair(seed=60)
+    jr = JpegR(map_dimension_scale_factor=2,
+               use_multi_channel_gainmap=False, preset=preset)
+    via_wire = jr.encode_api1(hdr, sdr, quality=92)
+    monkeypatch.setenv("UHDR_TPU_WIRE_API1", "raw")
+    via_raw = jr.encode_api1(hdr, sdr, quality=92)
+    assert via_wire == via_raw
+
+
+def test_api1_wire_overflow_falls_back(monkeypatch):
+    """Noise content overflows every rung's escape list; the encode must
+    silently take the raw upload and match it byte-for-byte."""
+    rs = np.random.RandomState(9)
+    y = (rs.randint(0, 1024, (H, W)).astype(np.uint16) << 6)
+    uv = (rs.randint(0, 1024, (H // 2, W)).astype(np.uint16) << 6)
+    hdr = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, W, H, [y, uv])
+    sdr = JpegR().tone_map(hdr)
+    for hb, sb in fused._API1_LADDER:
+        assert fused.pack_api1_wire(y, uv, sdr.planes[:3], hb, sb) is None
+    jr = JpegR(map_dimension_scale_factor=2,
+               use_multi_channel_gainmap=False, preset=EncPreset.REALTIME)
+    via_auto = jr.encode_api1(hdr, sdr, quality=92)
+    monkeypatch.setenv("UHDR_TPU_WIRE_API1", "raw")
+    assert via_auto == jr.encode_api1(hdr, sdr, quality=92)
+
+
+def test_api1_wire_ladder_parse(monkeypatch):
+    monkeypatch.setenv("UHDR_TPU_WIRE_API1", "raw")
+    assert fused._api1_wire_ladder() == ()
+    monkeypatch.setenv("UHDR_TPU_WIRE_API1", "h5s3")
+    assert fused._api1_wire_ladder() == ((5, 3),)
+    monkeypatch.setenv("UHDR_TPU_WIRE_API1", "garbage")
+    assert fused._api1_wire_ladder() == fused._API1_LADDER
+    monkeypatch.delenv("UHDR_TPU_WIRE_API1")
+    assert fused._api1_wire_ladder() == fused._API1_LADDER
+
+
+# ---------------------------------------------------------------------------
+# Decode-output DOWNLOAD wire (fused._pack_down_wire_1010102 on device,
+# native.uhdr_unpack_delta2d on host)
+
+@pytest.mark.parametrize("bits", [3, 4, 6])
+def test_down_wire_roundtrip(bits):
+    """Device-packed 2D-delta channels reconstruct the exact RGBA1010102
+    words on host, alpha rewritten to the constant 3."""
+    if bits < 6:
+        # narrow rungs need noise-free gradients: 2D deltas amplify
+        # per-pixel noise ~4x, overflowing the escape list
+        base = (_lowpass_plane(H, W, seed=70) >> 6).astype(np.uint32)
+        packed = (base | ((1023 - base) << 10) | (base << 20)
+                  | np.uint32(0x3) << 30)
+    else:
+        packed = _rgba1010102_img(seed=70).planes[0]
+    wire = fused._pack_down_wire_1010102(jnp.asarray(packed), h=H, w=W,
+                                         bits=bits)
+    out = fused.unpack_down_wire_1010102(np.asarray(wire), H, W, bits)
+    assert out is not None
+    np.testing.assert_array_equal(out, packed)
+
+
+def test_down_wire_unaligned_tail():
+    """h*w not a multiple of 32 exercises the padded tail group on both
+    halves of the codec."""
+    h, w = 31, 50
+    base = (_smooth_plane(h, w, seed=71) >> 6).astype(np.uint32)
+    packed = (base | ((1023 - base) << 10) | (base << 20)
+              | np.uint32(0x3) << 30)
+    wire = fused._pack_down_wire_1010102(jnp.asarray(packed), h=h, w=w,
+                                         bits=4)
+    out = fused.unpack_down_wire_1010102(np.asarray(wire), h, w, 4)
+    assert out is not None
+    np.testing.assert_array_equal(out, packed)
+
+
+def test_down_wire_overflow_returns_none():
+    """Noise content overflows the escape list; unpack reports it via
+    None so the caller re-downloads raw."""
+    rs = np.random.RandomState(12)
+    packed = (rs.randint(0, 1 << 30, (H, W)).astype(np.uint32)
+              | np.uint32(0x3) << 30)
+    wire = fused._pack_down_wire_1010102(jnp.asarray(packed), h=H, w=W,
+                                         bits=3)
+    assert fused.unpack_down_wire_1010102(np.asarray(wire), H, W, 3) is None
+
+
+@pytest.mark.parametrize("seed,noisy", [(73, False), (13, True)])
+def test_fetch_packed_matches_raw(seed, noisy):
+    """fetch_packed_1010102 is value-invisible whether the image rides
+    the wire (smooth) or falls back to the raw download (noise)."""
+    if noisy:
+        rs = np.random.RandomState(seed)
+        packed = (rs.randint(0, 1 << 30, (H, W)).astype(np.uint32)
+                  | np.uint32(0x3) << 30)
+    else:
+        packed = _rgba1010102_img(seed=seed).planes[0]
+    dev = jnp.asarray(packed)
+    np.testing.assert_array_equal(
+        fused.fetch_packed_1010102(dev, h=H, w=W), packed)
+
+
+def test_down_wire_bits_parse(monkeypatch):
+    monkeypatch.setenv("UHDR_TPU_WIRE_DOWN", "raw")
+    assert fused._down_wire_bits() == 0
+    monkeypatch.setenv("UHDR_TPU_WIRE_DOWN", "6")
+    assert fused._down_wire_bits() == 6
+    monkeypatch.setenv("UHDR_TPU_WIRE_DOWN", "garbage")
+    assert fused._down_wire_bits() == 4
+    monkeypatch.delenv("UHDR_TPU_WIRE_DOWN")
+    assert fused._down_wire_bits() == 4
+
+
+def test_decode_down_wire_value_invisible(monkeypatch):
+    """decode() output is identical whether the RGBA1010102 result
+    crossed the link delta-packed or raw."""
+    y = _smooth_plane(H, W, seed=80)
+    uv = _smooth_plane(H // 2, W, seed=81, edges=False)
+    img = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, W, H, [y, uv])
+    jr = JpegR(map_dimension_scale_factor=2,
+               use_multi_channel_gainmap=False, preset=EncPreset.REALTIME)
+    blob = jr.encode_api0(img, quality=92)
+    via_wire = jr.decode(blob, output_ct=ColorTransfer.HLG)[0]
+    monkeypatch.setenv("UHDR_TPU_WIRE_DOWN", "raw")
+    via_raw = jr.decode(blob, output_ct=ColorTransfer.HLG)[0]
+    np.testing.assert_array_equal(via_wire.planes[0], via_raw.planes[0])
+
+
+def _f16_comp(seed=90, noisy=False):
+    if noisy:
+        rs = np.random.RandomState(seed)
+        vals = rs.rand(H, W).astype(np.float32) * 100
+    else:
+        vals = (_lowpass_plane(H, W, seed=seed) >> 6).astype(np.float32)
+        vals = vals / 1023.0 * 4.0
+    comp = np.empty((H, W, 4), np.float16)
+    comp[..., 0] = vals.astype(np.float16)
+    comp[..., 1] = (vals * 0.6).astype(np.float16)
+    comp[..., 2] = (4.0 - vals).astype(np.float16)
+    comp[..., 3] = np.float16(1.0)
+    return comp.view(np.uint16)
+
+
+@pytest.mark.parametrize("bits", [6, 8])
+def test_down_wire_f16_roundtrip(bits):
+    """Device-packed f16 channels reconstruct the exact RGBAF16 bit
+    patterns on host (alpha rewritten to half(1.0))."""
+    comp = _f16_comp()
+    wire = fused._pack_down_wire_f16(jnp.asarray(comp), h=H, w=W,
+                                     bits=bits)
+    out = fused.unpack_down_wire_f16(np.asarray(wire), H, W, bits)
+    assert out is not None
+    np.testing.assert_array_equal(out, comp)
+
+
+@pytest.mark.parametrize("noisy", [False, True])
+def test_fetch_packed_f16_matches_raw(noisy):
+    comp = _f16_comp(seed=91, noisy=noisy)
+    np.testing.assert_array_equal(
+        fused.fetch_packed_f16(jnp.asarray(comp), h=H, w=W), comp)
+
+
+def test_decode_linear_down_wire_value_invisible(monkeypatch):
+    """LINEAR decode output is identical whether the RGBAF16 result
+    crossed the link delta-packed or raw."""
+    y = _smooth_plane(H, W, seed=82)
+    uv = _smooth_plane(H // 2, W, seed=83, edges=False)
+    img = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, W, H, [y, uv])
+    jr = JpegR(map_dimension_scale_factor=2,
+               use_multi_channel_gainmap=False, preset=EncPreset.REALTIME)
+    blob = jr.encode_api0(img, quality=92)
+    via_wire = jr.decode(blob, output_ct=ColorTransfer.LINEAR)[0]
+    monkeypatch.setenv("UHDR_TPU_WIRE_DOWN", "raw")
+    via_raw = jr.decode(blob, output_ct=ColorTransfer.LINEAR)[0]
+    np.testing.assert_array_equal(via_wire.planes[0], via_raw.planes[0])
