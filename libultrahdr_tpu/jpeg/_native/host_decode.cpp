@@ -63,6 +63,35 @@ inline uint8_t clamp_u8(float x) {
 
 }  // namespace
 
+// Full-range Rec.601 YCbCr planes -> interleaved RGB888 (the RGB-coded
+// multichannel gain map's color decode; JCS_RGB path of
+// /root/reference/lib/src/jpegdecoderhelper.cpp:353-375 for the map).
+// y/cb/cr: (h, w) u8, own stride each; out: (h, w, 3) u8.
+extern "C" void uhdr_ycbcr_to_rgb888(const uint8_t* y, int64_t y_stride,
+                                     const uint8_t* cb, const uint8_t* cr,
+                                     int64_t c_stride, int64_t w, int64_t h,
+                                     uint8_t* out) {
+  for (int64_t r = 0; r < h; r++) {
+    const uint8_t* yr = y + r * y_stride;
+    const uint8_t* br = cb + r * c_stride;
+    const uint8_t* rr = cr + r * c_stride;
+    uint8_t* o = out + r * w * 3;
+    for (int64_t x = 0; x < w; x++) {
+      // double intermediates, round-half-even: within ±1 of any float32
+      // ordering of the same formula (ties resolved at full precision)
+      double yy = (double)yr[x];
+      double u = (double)br[x] - 128.0;
+      double v = (double)rr[x] - 128.0;
+      int pr = (int)lrint(yy + 1.402 * v);
+      int pg = (int)lrint(yy - 0.344136286 * u - 0.714136286 * v);
+      int pb = (int)lrint(yy + 1.772 * u);
+      o[x * 3 + 0] = (uint8_t)(pr < 0 ? 0 : (pr > 255 ? 255 : pr));
+      o[x * 3 + 1] = (uint8_t)(pg < 0 ? 0 : (pg > 255 ? 255 : pg));
+      o[x * 3 + 2] = (uint8_t)(pb < 0 ? 0 : (pb > 255 ? 255 : pb));
+    }
+  }
+}
+
 // Zigzag int16 coefficient blocks -> u8 plane.
 // coeffs: (bh, bw, 64); out: (bh*8, out_stride) buffer.
 extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
@@ -283,26 +312,17 @@ extern "C" int uhdr_apply_gainmap_host(
       }
     }
 
-    // stage 2: IDW gain row (post-gamma, before the 1024 grid quantize)
-    {
-      int64_t my = y / k;
-      int py = (int)(y % k);
-      bool bottom = my >= mh - 1;
-      int64_t my1 = bottom ? mh - 1 : my + 1;
+    // stage 2: IDW gain row (post-gamma, before the 1024 grid quantize).
+    // The 4 map gathers are hoisted per k-wide map cell (they are loop
+    // invariants of the cell's output pixels), so gathers run at map
+    // resolution and the inner loop is 4 mults over a contiguous weight
+    // row.  k == 1 is the IDW identity (d1 == 0 -> w[0] = 1).
+    if (k == 1) {
+      int64_t my = y < mh ? y : mh - 1;
       for (int64_t x = 0; x < w; x++) {
-        int64_t mx = x / k;
-        int px = (int)(x % k);
-        bool right = mx >= mw - 1;
-        int64_t mx1 = right ? mw - 1 : mx + 1;
-        int t = (bottom ? 2 : 0) + (right ? 1 : 0);
-        const float* wt = &shep[((t * k + py) * k + px) * 4];
+        int64_t mx = x < mw ? x : mw - 1;
         for (int c = 0; c < gm_channels; c++) {
-          float e1 = gm[(my * mw + mx) * gm_channels + c];
-          float e2 = gm[(my1 * mw + mx) * gm_channels + c];
-          float e3 = gm[(my * mw + mx1) * gm_channels + c];
-          float e4 = gm[(my1 * mw + mx1) * gm_channels + c];
-          float gv = (wt[0] * e1 + wt[1] * e2 + wt[2] * e3 + wt[3] * e4) *
-                     (1.0f / 255.0f);
+          float gv = gm[(my * mw + mx) * gm_channels + c] * (1.0f / 255.0f);
           if (!unit_gamma) gv = powf(fmaxf(gv, 0.0f), 1.0f / gamma[c]);
           gain_pg[x * 3 + c] = gv;
         }
@@ -310,6 +330,40 @@ extern "C" int uhdr_apply_gainmap_host(
           gain_pg[x * 3 + 1] = gain_pg[x * 3];
           gain_pg[x * 3 + 2] = gain_pg[x * 3];
         }
+      }
+    } else {
+      int64_t my = y / k;
+      int py = (int)(y % k);
+      bool bottom = my >= mh - 1;
+      int64_t my1 = bottom ? mh - 1 : my + 1;
+      for (int64_t x = 0; x < w;) {
+        int64_t mx = x / k;
+        bool right = mx >= mw - 1;
+        int64_t mx1 = right ? mw - 1 : mx + 1;
+        int64_t xe = (mx + 1) * k;
+        if (xe > w) xe = w;
+        int t = (bottom ? 2 : 0) + (right ? 1 : 0);
+        const float* wrow = &shep[((int64_t)(t * k + py) * k) * 4];
+        for (int c = 0; c < gm_channels; c++) {
+          float e1 = gm[(my * mw + mx) * gm_channels + c];
+          float e2 = gm[(my1 * mw + mx) * gm_channels + c];
+          float e3 = gm[(my * mw + mx1) * gm_channels + c];
+          float e4 = gm[(my1 * mw + mx1) * gm_channels + c];
+          for (int64_t xx = x; xx < xe; xx++) {
+            const float* wt = &wrow[(xx - mx * k) * 4];
+            float gv = (wt[0] * e1 + wt[1] * e2 + wt[2] * e3 + wt[3] * e4) *
+                       (1.0f / 255.0f);
+            if (!unit_gamma) gv = powf(fmaxf(gv, 0.0f), 1.0f / gamma[c]);
+            gain_pg[xx * 3 + c] = gv;
+          }
+        }
+        if (gm_channels == 1) {
+          for (int64_t xx = x; xx < xe; xx++) {
+            gain_pg[xx * 3 + 1] = gain_pg[xx * 3];
+            gain_pg[xx * 3 + 2] = gain_pg[xx * 3];
+          }
+        }
+        x = xe;
       }
     }
 

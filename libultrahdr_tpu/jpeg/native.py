@@ -116,6 +116,11 @@ def get_lib():
             lib.uhdr_idct_plane.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_ycbcr_to_rgb888.restype = None
+            lib.uhdr_ycbcr_to_rgb888.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p]
             lib.uhdr_unpack_delta2d.restype = ctypes.c_int64
             lib.uhdr_unpack_delta2d.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -131,6 +136,21 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
             _LIB = lib
     return _LIB
+
+
+def ycbcr_to_rgb888(y: np.ndarray, cb: np.ndarray,
+                    cr: np.ndarray) -> np.ndarray:
+    """Full-range Rec.601 (h, w) u8 YCbCr planes -> (h, w, 3) u8 RGB
+    (the RGB-coded multichannel gain map's color decode)."""
+    lib = get_lib()
+    y = np.ascontiguousarray(y, np.uint8)
+    cb = np.ascontiguousarray(cb, np.uint8)
+    cr = np.ascontiguousarray(cr, np.uint8)
+    h, w = y.shape
+    out = np.empty((h, w, 3), np.uint8)
+    lib.uhdr_ycbcr_to_rgb888(y.ctypes.data, w, cb.ctypes.data,
+                             cr.ctypes.data, w, w, h, out.ctypes.data)
+    return out
 
 
 def unpack_delta2d(words: np.ndarray, esc_idx: np.ndarray,

@@ -808,17 +808,8 @@ class JpegR:
             gy = jnative.idct_plane(gm_coeffs[0], gm_qts[0])[:mh, :mw]
             gcb = jnative.idct_plane(gm_coeffs[1], gm_qts[1])[:mh, :mw]
             gcr = jnative.idct_plane(gm_coeffs[2], gm_qts[2])[:mh, :mw]
-            # RGB-coded gain map (full-range Rec601 YCbCr -> RGB)
-            yf = gy.astype(np.float32)
-            cb = gcb.astype(np.float32) - 128.0
-            cr = gcr.astype(np.float32) - 128.0
-            r = yf + 1.402 * cr
-            g = yf - 0.344136286 * cb - 0.714136286 * cr
-            b = yf + 1.772 * cb
-            gm_u8 = np.stack([np.clip(np.round(r), 0, 255),
-                              np.clip(np.round(g), 0, 255),
-                              np.clip(np.round(b), 0, 255)],
-                             axis=-1).astype(np.uint8)
+            # RGB-coded gain map (full-range Rec601 YCbCr -> RGB), native
+            gm_u8 = jnative.ycbcr_to_rgb888(gy, gcb, gcr)
 
         weight = apply_ops.gainmap_weight(
             max_display_boost, float(metadata.hdr_capacity_min),

@@ -91,3 +91,33 @@ def test_decode_host_rejects_srgb():
     data = jr.encode_api0(_p010(), quality=92)
     with pytest.raises(UhdrError):
         JpegR().decode_host(data, output_ct=ColorTransfer.SRGB)
+
+
+def test_native_ycbcr_to_rgb888():
+    """The native RGB-coded-gainmap color decode (uhdr_ycbcr_to_rgb888) is
+    within 1 code of the Rec.601 formula at every pixel (FMA contraction
+    can move rounding ties by one) and clamps at both rails."""
+    from libultrahdr_tpu.jpeg import native as jn
+    rs = np.random.RandomState(11)
+    y, cb, cr = [rs.randint(0, 256, (61, 97)).astype(np.uint8)
+                 for _ in range(3)]
+    got = jn.ycbcr_to_rgb888(y, cb, cr)
+    yf = y.astype(np.float64)
+    u = cb.astype(np.float64) - 128.0
+    v = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * v
+    g = yf - 0.344136286 * u - 0.714136286 * v
+    b = yf + 1.772 * u
+    ref = np.stack([np.clip(np.round(r), 0, 255),
+                    np.clip(np.round(g), 0, 255),
+                    np.clip(np.round(b), 0, 255)], axis=-1).astype(np.uint8)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+    # rails: saturated chroma must clamp, not wrap
+    full = jn.ycbcr_to_rgb888(np.full((4, 4), 255, np.uint8),
+                              np.full((4, 4), 255, np.uint8),
+                              np.full((4, 4), 255, np.uint8))
+    assert full[..., 0].max() == 255 and full.min() >= 0
+    zero = jn.ycbcr_to_rgb888(np.zeros((4, 4), np.uint8),
+                              np.zeros((4, 4), np.uint8),
+                              np.zeros((4, 4), np.uint8))
+    assert zero[..., 2].min() == 0
