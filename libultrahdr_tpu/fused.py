@@ -184,14 +184,15 @@ def _delta7_wire_layout(h: int, w: int):
 # wire first; each rung is its own compiled program variant, but a given
 # content type settles on one rung (photographic: the first).
 _WIRE_1D7 = (False, 7, native.DELTA7_ESC_CAP)
-_WIRE_LADDER = ((True, 3, 8192), (True, 4, 8192), (True, 5, 8192),
-                (True, 6, native.DELTA7_ESC_CAP), _WIRE_1D7)
+_WIRE_LADDER = ((True, 2, 8192), (True, 3, 8192), (True, 4, 8192),
+                (True, 5, 8192), (True, 6, native.DELTA7_ESC_CAP),
+                _WIRE_1D7)
 
 
 def _wire_mode():
     """Upload wire mode from UHDR_TPU_WIRE: 'auto' (default; try the
-    ladder 2d3/8k -> 2d4/8k -> 2d5/8k -> 2d6 -> 1d7, smallest wire that
-    fits wins),
+    ladder 2d2/8k -> 2d3/8k -> 2d4/8k -> 2d5/8k -> 2d6 -> 1d7, smallest
+    wire that fits wins),
     '1d7' (the original delta7), or any '1dN'/'2dN' with N in 2..8.
     Escape-overflow falls through the ladder and finally to the dense
     10-bit pack, so the mode is a pure perf knob (wire choice is
@@ -517,7 +518,7 @@ def _fused_api0_rgb_wire(buf, *, fmt: ImgFmt, h: int, w: int,
 # tone-mapped SDR planes are much smoother than their HDR source (~700
 # escapes at 2d3 on the 12 MP photographic mosaic), so the SDR rung sits
 # at or below the HDR rung
-_API1_LADDER = ((3, 3), (4, 3), (5, 4), (6, 6))   # (hdr_bits, sdr_bits)
+_API1_LADDER = ((2, 2), (3, 3), (4, 3), (5, 4), (6, 6))  # (hdr_bits, sdr_bits)
 _API1_ESC = 8192    # per-plane escape capacity (photographic: <1000)
 
 
@@ -972,13 +973,14 @@ def _esc_cap4(n_ac: int) -> int:
     return max(8192, -(-n_ac // 128) // 4096 * 4096 + 4096)
 
 
-def pack_coeff_wire4(planes) -> bytes | None:
-    """Half-size variant of pack_coeff_wire: AC coefficients bit-sliced
-    at 4 bits/sample (native uhdr_pack_slices) with per-plane escape
-    lists — quantized natural-image ACs fit [-8,7] for >99.5% of samples
-    at q95, so the decode upload drops from ~8.1 to ~4.3 bits/coeff.
-    Layout per plane: [dc i16][ac 4-bit slices][esc_idx i32][esc_val i16].
-    None when any plane's escapes overflow (caller tries the int8 wire)."""
+def pack_coeff_wire_n(planes, bits: int) -> bytes | None:
+    """Bit-sliced variant of pack_coeff_wire: AC coefficients sliced at
+    `bits`/sample (native uhdr_pack_slices) with per-plane escape lists —
+    quantized natural-image ACs fit [-8,7] for >99.5% of samples at q95
+    and [-4,3] for >99.4%, so the decode upload drops from ~8.1 to
+    ~4.3 (i4) or ~3.4 (i3) bits/coeff.  Layout per plane:
+    [dc i16][ac bit slices][esc_idx i32][esc_val i16].  None when any
+    plane's escapes overflow (caller tries the next-wider wire)."""
     parts = []
     for c in planes:
         a = np.asarray(c)
@@ -986,21 +988,30 @@ def pack_coeff_wire4(planes) -> bytes | None:
         ac = np.ascontiguousarray(a[..., 1:], np.int16).reshape(-1)
         cap = _esc_cap4(ac.size)
         g = -(-ac.size // 32)
-        words = np.empty((g, 4), np.uint32)
+        words = np.empty((g, bits), np.uint32)
         esc_idx = np.empty(cap, np.int32)
         esc_val = np.empty(cap, np.int16)
-        if not native.pack_slices_into(ac, 4, words, esc_idx, esc_val):
+        if not native.pack_slices_into(ac, bits, words, esc_idx, esc_val):
             return None
         parts += [dc.tobytes(), words.tobytes(), esc_idx.tobytes(),
                   esc_val.tobytes()]
     return b"".join(parts)
 
 
-def _unpack_coeff_wire4(blob, plane_shapes: tuple):
-    """Device half of pack_coeff_wire4: un-slice the 4-bit AC codes
-    (4 static shift-ands per 32-sample group, no gather), patch escapes,
+def pack_coeff_wire4(planes) -> bytes | None:
+    return pack_coeff_wire_n(planes, 4)
+
+
+def pack_coeff_wire3(planes) -> bytes | None:
+    return pack_coeff_wire_n(planes, 3)
+
+
+def _unpack_coeff_wire_n(blob, plane_shapes: tuple, bits: int):
+    """Device half of pack_coeff_wire_n: un-slice the `bits`-wide AC codes
+    (static shift-ands per 32-sample group, no gather), patch escapes,
     and rebuild int32 coefficient arrays."""
     lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    half = 1 << (bits - 1)
     out = []
     off = 0
     for bh, bw in plane_shapes:
@@ -1012,9 +1023,10 @@ def _unpack_coeff_wire4(blob, plane_shapes: tuple):
         off += 2 * n
         g = -(-n_ac // 32)
         words = jax.lax.bitcast_convert_type(
-            jax.lax.slice(blob, [off], [off + 16 * g]).reshape(4 * g, 4),
-            jnp.uint32).reshape(g, 4)
-        off += 16 * g
+            jax.lax.slice(blob, [off],
+                          [off + 4 * bits * g]).reshape(bits * g, 4),
+            jnp.uint32).reshape(g, bits)
+        off += 4 * bits * g
         cap = _esc_cap4(n_ac)
         idx = jax.lax.bitcast_convert_type(
             jax.lax.slice(blob, [off], [off + 4 * cap]).reshape(cap, 4),
@@ -1025,15 +1037,19 @@ def _unpack_coeff_wire4(blob, plane_shapes: tuple):
             jnp.int16).reshape(-1)
         off += 2 * cap
         s = jnp.zeros((g, 32), jnp.int32)
-        for j in range(4):
+        for j in range(bits):
             s = s | (((words[:, j:j + 1] >> lanes) & 1) << j) \
                 .astype(jnp.int32)
-        ac = s.reshape(-1)[:n_ac] - 8
+        ac = s.reshape(-1)[:n_ac] - half
         ac = ac.at[idx].set(val.astype(jnp.int32), mode="drop")
         out.append(jnp.concatenate(
             [dc[..., None].astype(jnp.int32), ac.reshape(bh, bw, 63)],
             axis=-1))
     return out
+
+
+def _unpack_coeff_wire4(blob, plane_shapes: tuple):
+    return _unpack_coeff_wire_n(blob, plane_shapes, 4)
 
 
 def _unpack_coeff_wire(blob, plane_shapes: tuple):
@@ -1080,7 +1096,9 @@ def _fused_decode_batch(blobs, qts, meta_arrays, weights, *,
     qts (K, n_planes, 64) i32, meta_arrays dict of (K, 3) f32, weights
     (K,) f32.  Output packing identical to _fused_decode per image (the
     wire — int8 or 4-bit-sliced — is byte-invisible)."""
-    unpack = _unpack_coeff_wire4 if wire == "i4" else _unpack_coeff_wire
+    unpack = (functools.partial(_unpack_coeff_wire_n, bits=3)
+              if wire == "i3" else
+              _unpack_coeff_wire4 if wire == "i4" else _unpack_coeff_wire)
 
     def one(blob, qt, meta, wgt):
         planes = unpack(blob, plane_shapes)
@@ -1106,7 +1124,9 @@ def _fused_decode_wire(blob, qts, meta_arrays, weight, *,
     """Single-image fused decode on the coalesced coefficient wire blob:
     ONE h2d upload instead of one per plane buffer (the link pays ~40 ms
     fixed latency per transfer), and the 4-bit wire halves the bytes."""
-    unpack = _unpack_coeff_wire4 if wire == "i4" else _unpack_coeff_wire
+    unpack = (functools.partial(_unpack_coeff_wire_n, bits=3)
+              if wire == "i3" else
+              _unpack_coeff_wire4 if wire == "i4" else _unpack_coeff_wire)
     planes = unpack(blob, plane_shapes)
     return _decode_device_core(
         planes[:n_base], [qts[i] for i in range(n_base)],

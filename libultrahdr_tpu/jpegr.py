@@ -689,7 +689,8 @@ class JpegR:
                 p["gm"], p["gm_info"])
             planes = base_coeffs + gm_coeffs
             blob, kind = None, None
-            for pack, k in ((fused_mod.pack_coeff_wire4, "i4"),
+            for pack, k in ((fused_mod.pack_coeff_wire3, "i3"),
+                            (fused_mod.pack_coeff_wire4, "i4"),
                             (fused_mod.pack_coeff_wire, "i8")):
                 blob = pack(planes)
                 if blob is not None:
@@ -926,10 +927,11 @@ class JpegR:
             max_display_boost, float(metadata.hdr_capacity_min),
             float(metadata.hdr_capacity_max))
         # coalesced single-blob upload (1 transfer; the link pays ~40 ms
-        # fixed latency each): 4-bit AC wire, then int8, then per-plane
+        # fixed latency each): 3-bit AC wire, then 4-bit, int8, per-plane
         planes = base_coeffs + gm_coeffs
         blob, kind = None, None
-        for pack, k in ((fused_mod.pack_coeff_wire4, "i4"),
+        for pack, k in ((fused_mod.pack_coeff_wire3, "i3"),
+                        (fused_mod.pack_coeff_wire4, "i4"),
                         (fused_mod.pack_coeff_wire, "i8")):
             blob = pack(planes)
             if blob is not None:

@@ -142,7 +142,7 @@ def test_wire_mode_parse(monkeypatch):
     assert fused._wire_mode() == (fused._WIRE_1D7,)
     monkeypatch.delenv("UHDR_TPU_WIRE")
     assert fused._wire_mode() == fused._WIRE_LADDER
-    assert fused._WIRE_LADDER[0] == (True, 3, 8192)
+    assert fused._WIRE_LADDER[0] == (True, 2, 8192)
 
 
 def _rgba1010102_img(seed=40):
@@ -207,6 +207,29 @@ def test_coeff_wire4_roundtrip():
     out = fused._unpack_coeff_wire4(
         jnp.asarray(np.frombuffer(blob, np.uint8)),
         tuple(s for s in shapes))
+    for c, o in zip(planes, out):
+        np.testing.assert_array_equal(np.asarray(o), c.astype(np.int32))
+
+
+def test_coeff_wire3_roundtrip():
+    """The 3-bit coefficient wire rung is lossless too (same layout,
+    narrower slices, [-4,3] in-range window)."""
+    rs = np.random.RandomState(7)
+    shapes = [(5, 9), (2, 4)]
+    planes = []
+    for bh, bw in shapes:
+        c = np.zeros((bh, bw, 64), np.int16)
+        c[..., 0] = rs.randint(-500, 500, (bh, bw))
+        c[..., 1:20] = rs.randint(-4, 4, (bh, bw, 19))   # in-range at 3 bits
+        c[0, 0, 30] = 900                                 # escapes
+        c[-1, -1, 63] = -1023
+        c[0, 0, 40] = 7                                   # escapes at 3 bits
+        planes.append(c)
+    blob = fused.pack_coeff_wire3(planes)
+    assert blob is not None
+    out = fused._unpack_coeff_wire_n(
+        jnp.asarray(np.frombuffer(blob, np.uint8)),
+        tuple(s for s in shapes), 3)
     for c, o in zip(planes, out):
         np.testing.assert_array_equal(np.asarray(o), c.astype(np.int32))
 
