@@ -107,24 +107,43 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
   for (int64_t by = 0; by < bh; by++) {
     for (int64_t bx = 0; bx < bw; bx++) {
       const int16_t* src = coeffs + (by * bw + bx) * 64;
+      uint8_t* dst = out + (by * 8) * out_stride + bx * 8;
+      // Sparsity fast paths: photographic content at q95 measures ~95%
+      // DC-only luma blocks; track the last nonzero zigzag index and
+      // bound the transform to the frequencies actually present.
+      int last = 63;
+      while (last > 0 && src[last] == 0) last--;
+      if (last == 0) {  // DC-only: S[y][x] = dc*dq0/8 everywhere
+        uint8_t v8 = clamp_u8((float)src[0] * dq[0] * 0.125f + 128.0f);
+        for (int r = 0; r < 8; r++) memset(dst + r * out_stride, v8, 8);
+        continue;
+      }
+      int umax = 0, vmax = 0;  // max nonzero natural row / col frequency
+      for (int zz = 0; zz <= last; zz++) {
+        if (src[zz] == 0) continue;
+        int nat = kZigzagToNatural[zz];
+        int u = nat >> 3, v = nat & 7;
+        if (u > umax) umax = u;
+        if (v > vmax) vmax = v;
+      }
       for (int i = 0; i < 64; i++) F[i] = 0.0f;
-      for (int zz = 0; zz < 64; zz++)
+      for (int zz = 0; zz <= last; zz++)
         F[kZigzagToNatural[zz]] = (float)src[zz] * dq[zz];
-      // T = B . F  (rows: spatial y, cols: freq v)
+      // T = B . F  (rows: spatial y, cols: freq v), u/v loops bounded by
+      // the block's frequency support
       for (int y = 0; y < 8; y++)
-        for (int v = 0; v < 8; v++) {
+        for (int v = 0; v <= vmax; v++) {
           float acc = 0.0f;
-          for (int u = 0; u < 8; u++) acc += B[y * 8 + u] * F[u * 8 + v];
+          for (int u = 0; u <= umax; u++) acc += B[y * 8 + u] * F[u * 8 + v];
           T[y * 8 + v] = acc;
         }
       // S = T . B^T
       for (int y = 0; y < 8; y++)
         for (int x = 0; x < 8; x++) {
           float acc = 0.0f;
-          for (int v = 0; v < 8; v++) acc += T[y * 8 + v] * B[x * 8 + v];
+          for (int v = 0; v <= vmax; v++) acc += T[y * 8 + v] * B[x * 8 + v];
           S[y * 8 + x] = acc;
         }
-      uint8_t* dst = out + (by * 8) * out_stride + bx * 8;
       for (int r = 0; r < 8; r++)
         for (int c = 0; c < 8; c++)
           dst[r * out_stride + c] = clamp_u8(S[r * 8 + c] + 128.0f);
