@@ -302,6 +302,20 @@ extern "C" int uhdr_apply_gainmap_host(
   uint32_t* out32 = (uint32_t*)out_buf;
   uint64_t* out64 = (uint64_t*)out_buf;
 
+  // k == 1 (the library's default map scale): the map sample feeds the
+  // gain directly, so gamma, the 1024-grid quantize, and the gain LUT
+  // compose into one exact 256-entry LUT per channel — stages 2+3 become
+  // a single u8-indexed load.
+  float gain8[3][256];
+  if (k == 1) {
+    for (int c = 0; c < 3; c++)
+      for (int e = 0; e < 256; e++) {
+        float gv = (float)e * (1.0f / 255.0f);
+        if (!unit_gamma) gv = powf(fmaxf(gv, 0.0f), 1.0f / gamma[c]);
+        gain8[c][e] = L->gainf[c][lut1024(gv)];
+      }
+  }
+
   for (int64_t y = 0; y < h; y++) {
     const uint8_t* yr = yp + y * y_stride;
     const uint8_t* ur = up + (y / vf) * c_stride;
@@ -335,19 +349,29 @@ extern "C" int uhdr_apply_gainmap_host(
     // The 4 map gathers are hoisted per k-wide map cell (they are loop
     // invariants of the cell's output pixels), so gathers run at map
     // resolution and the inner loop is 4 mults over a contiguous weight
-    // row.  k == 1 is the IDW identity (d1 == 0 -> w[0] = 1).
+    // row.  k == 1 is the IDW identity (d1 == 0 -> w[0] = 1): stages 2+3
+    // fuse into the composed gain8 LUT (see build above), skipping
+    // gain_pg entirely.
     if (k == 1) {
       int64_t my = y < mh ? y : mh - 1;
-      for (int64_t x = 0; x < w; x++) {
-        int64_t mx = x < mw ? x : mw - 1;
-        for (int c = 0; c < gm_channels; c++) {
-          float gv = gm[(my * mw + mx) * gm_channels + c] * (1.0f / 255.0f);
-          if (!unit_gamma) gv = powf(fmaxf(gv, 0.0f), 1.0f / gamma[c]);
-          gain_pg[x * 3 + c] = gv;
+      const uint8_t* mrow = gm + my * mw * gm_channels;
+      if (gm_channels == 3) {
+        for (int64_t x = 0; x < w; x++) {
+          int64_t mx = x < mw ? x : mw - 1;
+          float gr = gain8[0][mrow[mx * 3 + 0]];
+          float gg = gain8[1][mrow[mx * 3 + 1]];
+          float gb = gain8[2][mrow[mx * 3 + 2]];
+          rrow[x] = (rrow[x] + off_sdr[0]) * gr - off_hdr[0];
+          grow[x] = (grow[x] + off_sdr[1]) * gg - off_hdr[1];
+          brow[x] = (brow[x] + off_sdr[2]) * gb - off_hdr[2];
         }
-        if (gm_channels == 1) {
-          gain_pg[x * 3 + 1] = gain_pg[x * 3];
-          gain_pg[x * 3 + 2] = gain_pg[x * 3];
+      } else {
+        for (int64_t x = 0; x < w; x++) {
+          int64_t mx = x < mw ? x : mw - 1;
+          uint8_t e = mrow[mx];
+          rrow[x] = (rrow[x] + off_sdr[0]) * gain8[0][e] - off_hdr[0];
+          grow[x] = (grow[x] + off_sdr[1]) * gain8[1][e] - off_hdr[1];
+          brow[x] = (brow[x] + off_sdr[2]) * gain8[2][e] - off_hdr[2];
         }
       }
     } else {
@@ -386,14 +410,17 @@ extern "C" int uhdr_apply_gainmap_host(
       }
     }
 
-    // stage 3: apply gain (applyGainLUT, gainmapmath.cpp:849-855)
-    for (int64_t x = 0; x < w; x++) {
-      float gr = L->gainf[0][lut1024(gain_pg[x * 3 + 0])];
-      float gg = L->gainf[1][lut1024(gain_pg[x * 3 + 1])];
-      float gb = L->gainf[2][lut1024(gain_pg[x * 3 + 2])];
-      rrow[x] = (rrow[x] + off_sdr[0]) * gr - off_hdr[0];
-      grow[x] = (grow[x] + off_sdr[1]) * gg - off_hdr[1];
-      brow[x] = (brow[x] + off_sdr[2]) * gb - off_hdr[2];
+    // stage 3: apply gain (applyGainLUT, gainmapmath.cpp:849-855);
+    // k == 1 already applied it fused with stage 2 above
+    if (k != 1) {
+      for (int64_t x = 0; x < w; x++) {
+        float gr = L->gainf[0][lut1024(gain_pg[x * 3 + 0])];
+        float gg = L->gainf[1][lut1024(gain_pg[x * 3 + 1])];
+        float gb = L->gainf[2][lut1024(gain_pg[x * 3 + 2])];
+        rrow[x] = (rrow[x] + off_sdr[0]) * gr - off_hdr[0];
+        grow[x] = (grow[x] + off_sdr[1]) * gg - off_hdr[1];
+        brow[x] = (brow[x] + off_sdr[2]) * gb - off_hdr[2];
+      }
     }
 
     if (gamut_m && !gamut_pre) {
