@@ -121,3 +121,20 @@ def test_native_ycbcr_to_rgb888():
                               np.zeros((4, 4), np.uint8),
                               np.zeros((4, 4), np.uint8))
     assert zero[..., 2].min() == 0
+
+
+@pytest.mark.parametrize("gamma,multichannel", [(1.5, False), (2.2, True)])
+def test_decode_host_scale1_gamma(gamma, multichannel):
+    """Map scale 1 fuses gamma + quantize + gain into a composed 256-entry
+    LUT (host_decode.cpp gain8); it must agree with the device path for
+    non-unit gamma, single- and multi-channel maps."""
+    jr = JpegR(map_dimension_scale_factor=1, gamma=gamma,
+               use_multi_channel_gainmap=multichannel,
+               preset=EncPreset.REALTIME)
+    data = jr.encode_api0(_p010(seed=9), quality=92)
+    dev, _, _ = JpegR().decode(data, output_ct=ColorTransfer.HLG)
+    host, _ = JpegR().decode_host(data, output_ct=ColorTransfer.HLG)
+    pd, ph = np.asarray(dev.planes[0]), np.asarray(host.planes[0])
+    for s in (0, 10, 20):
+        psnr = _psnr10(pd, ph, s)
+        assert psnr >= 55.0, f"gamma {gamma} mc {multichannel} ch {s}: {psnr:.1f} dB"
