@@ -33,8 +33,10 @@ def test_capi_roundtrip():
     # hermetic: the embedded interpreter must not grab the real TPU
     # (conftest pins pytest itself to CPU the same way)
     env["JAX_PLATFORMS"] = "cpu"
+    # ~6 min alone on this 1-core host (embedded-interpreter CPU-XLA
+    # compiles of the fused programs dominate); headroom for co-tenant load
     r = subprocess.run([sys.executable, "-m", "capi.build", "--test"],
                        cwd=REPO, env=env, capture_output=True, text=True,
-                       timeout=600)
+                       timeout=1800)
     assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
     assert "capi round-trip OK" in r.stdout
