@@ -14,8 +14,22 @@ raw image descriptors into its context, ultrahdr_api.cpp:815-1031).
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
+
+# Honor JAX_PLATFORMS in the EMBEDDED interpreter: this environment's
+# sitecustomize registers a TPU plugin and pins the platform, so the env
+# var alone is ignored (same workaround as tests/conftest.py).  A C-ABI
+# consumer that sets JAX_PLATFORMS=cpu must get a hermetic CPU run, not a
+# hang on an unreachable device tunnel.
+_plat = os.environ.get("JAX_PLATFORMS", "").strip()
+if _plat:
+    import jax
+    try:
+        jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
 
 from . import api
 from .errors import UhdrError, UhdrErrorCode
