@@ -39,7 +39,7 @@ def _build() -> pathlib.Path:
         tmp = so.with_suffix(".so.tmp")
         flags = (["-O1", "-g", "-fsanitize=address,undefined",
                   "-fno-sanitize-recover=all"] if sanitize
-                 else ["-O3", "-march=native"])
+                 else ["-O3", "-march=native", "-fno-math-errno"])
         subprocess.run(
             ["g++", *flags, "-shared", "-fPIC", "-std=c++17"]
             + [str(s) for s in _SRCS] + ["-o", str(tmp)],
