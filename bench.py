@@ -37,8 +37,12 @@ import time
 
 import numpy as np
 
-REF_ENCODE_4K_MPPS = 3.44    # reference, this host, same photo scene
+REF_ENCODE_4K_MPPS = 3.44    # reference, this host, same fixture-mosaic scene
 REF_DECODE_4K_MPPS = 9.0     # reference decode->HLG/RGBA1010102
+# grainy = benchmarks.grainy_p010, real-capture residual entropy (the
+# fixture mosaic is a flat chart; see BASELINE.md content variants)
+REF_ENCODE_GRAINY_MPPS = 3.58
+REF_DECODE_GRAINY_MPPS = 8.89
 W, H = 3840, 2160
 BATCH = 8          # images in flight: overlaps upload/compute/download
 ENC_REPS = 3
@@ -185,6 +189,30 @@ def main():
             dc_times.append(time.perf_counter() - t0 - ping)
     dev_ms = statistics.median(dc_times) * 1e3 if dc_times else None
 
+    # ---- grainy (high-entropy) content variant: keeps entropy-sensitive
+    # numbers honest (the headline scene is the reference's own flat-chart
+    # fixture; BASELINE.md).  Never breaks the headline.
+    grainy_enc = grainy_dec = None
+    try:
+        from benchmarks import grainy_p010
+        gimgs = [grainy_p010(W, H, seed=23 + i) for i in range(2)]
+        gouts = encode_api0_p010_pipelined(jr, gimgs, quality=95)  # warm
+        gt = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            gouts = encode_api0_p010_pipelined(jr, gimgs, quality=95)
+            gt.append((time.perf_counter() - t0) / len(gimgs))
+        grainy_enc = W * H / 1e6 / statistics.median(gt)
+        d.decode_host(gouts[0], output_ct=ColorTransfer.HLG)
+        gt = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            d.decode_host(gouts[0], output_ct=ColorTransfer.HLG)
+            gt.append(time.perf_counter() - t0)
+        grainy_dec = W * H / 1e6 / statistics.median(gt)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "api0_encode_4k_p010_hlg",
         "value": round(enc_mpps, 3),
@@ -203,6 +231,16 @@ def main():
             "encode_device_compute_4k_mpps": (round(W * H / 1e6
                                                     / (dev_ms / 1e3), 2)
                                               if dev_ms else None),
+            "encode_grainy_4k_mpps": (round(grainy_enc, 3)
+                                      if grainy_enc else None),
+            "encode_grainy_vs_baseline": (round(
+                grainy_enc / REF_ENCODE_GRAINY_MPPS, 3)
+                if grainy_enc else None),
+            "decode_host_grainy_4k_mpps": (round(grainy_dec, 3)
+                                           if grainy_dec else None),
+            "decode_host_grainy_vs_baseline": (round(
+                grainy_dec / REF_DECODE_GRAINY_MPPS, 3)
+                if grainy_dec else None),
             "encode_reps": ENC_REPS, "decode_reps": DEC_REPS,
             "stat": "median", "link_h2d_mbps": round(h2d, 1),
         },

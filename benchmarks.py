@@ -88,6 +88,52 @@ def natural_p010(w: int, h: int) -> RawImage:
                     [np.ascontiguousarray(ym), np.ascontiguousarray(uvm)])
 
 
+def _value_noise(rs, w: int, h: int, oct_px: int) -> np.ndarray:
+    """One bilinear value-noise octave at `oct_px` cell size."""
+    gh, gw = h // oct_px + 2, w // oct_px + 2
+    g = rs.randn(gh, gw).astype(np.float32)
+    yy = np.linspace(0, gh - 1.001, h, dtype=np.float32)
+    xx = np.linspace(0, gw - 1.001, w, dtype=np.float32)
+    y0 = yy.astype(np.int32)
+    x0 = xx.astype(np.int32)
+    fy = (yy - y0)[:, None]
+    fx = (xx - x0)[None, :]
+    return (g[y0][:, x0] * (1 - fy) * (1 - fx)
+            + g[y0 + 1][:, x0] * fy * (1 - fx)
+            + g[y0][:, x0 + 1] * (1 - fy) * fx
+            + g[y0 + 1][:, x0 + 1] * fy * fx)
+
+
+def grainy_p010(w: int, h: int, seed: int = 23) -> RawImage:
+    """High-entropy photographic-LIKE P010 scene: multi-octave value noise
+    plus sensor grain, tuned so the luma 2D prediction residual measures
+    std ~4 codes (a real capture's ballpark; it rides the 2d5/8k wire
+    rung).  The reference's own raw_p010_image.p010 fixture is a flat
+    8-value chart whose residual is ~100% zeros — trivially compressible
+    — so wire/entropy-sensitive numbers are reported on BOTH contents."""
+    rs = np.random.RandomState(seed)
+    lum = np.zeros((h, w), np.float32)
+    for oct_px, amp in ((256, 0.35), (64, 0.18), (16, 0.06), (8, 0.02)):
+        lum += amp * _value_noise(rs, w, h, oct_px)
+    lum = 0.5 + 0.3 * lum
+    lum += rs.randn(h, w).astype(np.float32) * 0.002
+    y10 = np.clip(lum * 1023, 0, 1023).astype(np.uint16) << 6
+    cw, ch = w // 2, h // 2
+    cu = np.zeros((ch, cw), np.float32)
+    cv = np.zeros((ch, cw), np.float32)
+    for oct_px, amp in ((128, 0.2), (32, 0.06)):
+        cu += amp * _value_noise(rs, cw, ch, oct_px)
+        cv += amp * _value_noise(rs, cw, ch, oct_px)
+    u10 = np.clip((0.5 + cu) * 1023, 0, 1023).astype(np.uint16) << 6
+    v10 = np.clip((0.5 + cv) * 1023, 0, 1023).astype(np.uint16) << 6
+    uv = np.empty((ch, w), np.uint16)
+    uv[:, 0::2] = u10
+    uv[:, 1::2] = v10
+    return RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                    ColorRange.FULL, w, h,
+                    [np.ascontiguousarray(y10), np.ascontiguousarray(uv)])
+
+
 def _p010_to_rgba1010102(img: RawImage) -> RawImage:
     """Repack P010 YCbCr as RGBA1010102 carrying the same pixel entropy
     (benchmarks need matched content across input formats, not a color
