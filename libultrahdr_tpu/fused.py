@@ -1006,6 +1006,10 @@ def pack_coeff_wire3(planes) -> bytes | None:
     return pack_coeff_wire_n(planes, 3)
 
 
+def pack_coeff_wire5(planes) -> bytes | None:
+    return pack_coeff_wire_n(planes, 5)
+
+
 def _unpack_coeff_wire_n(blob, plane_shapes: tuple, bits: int):
     """Device half of pack_coeff_wire_n: un-slice the `bits`-wide AC codes
     (static shift-ands per 32-sample group, no gather), patch escapes,
@@ -1096,9 +1100,8 @@ def _fused_decode_batch(blobs, qts, meta_arrays, weights, *,
     qts (K, n_planes, 64) i32, meta_arrays dict of (K, 3) f32, weights
     (K,) f32.  Output packing identical to _fused_decode per image (the
     wire — int8 or 4-bit-sliced — is byte-invisible)."""
-    unpack = (functools.partial(_unpack_coeff_wire_n, bits=3)
-              if wire == "i3" else
-              _unpack_coeff_wire4 if wire == "i4" else _unpack_coeff_wire)
+    unpack = (_unpack_coeff_wire if wire == "i8" else
+              functools.partial(_unpack_coeff_wire_n, bits=int(wire[1:])))
 
     def one(blob, qt, meta, wgt):
         planes = unpack(blob, plane_shapes)
@@ -1124,9 +1127,8 @@ def _fused_decode_wire(blob, qts, meta_arrays, weight, *,
     """Single-image fused decode on the coalesced coefficient wire blob:
     ONE h2d upload instead of one per plane buffer (the link pays ~40 ms
     fixed latency per transfer), and the 4-bit wire halves the bytes."""
-    unpack = (functools.partial(_unpack_coeff_wire_n, bits=3)
-              if wire == "i3" else
-              _unpack_coeff_wire4 if wire == "i4" else _unpack_coeff_wire)
+    unpack = (_unpack_coeff_wire if wire == "i8" else
+              functools.partial(_unpack_coeff_wire_n, bits=int(wire[1:])))
     planes = unpack(blob, plane_shapes)
     return _decode_device_core(
         planes[:n_base], [qts[i] for i in range(n_base)],

@@ -691,6 +691,7 @@ class JpegR:
             blob, kind = None, None
             for pack, k in ((fused_mod.pack_coeff_wire3, "i3"),
                             (fused_mod.pack_coeff_wire4, "i4"),
+                            (fused_mod.pack_coeff_wire5, "i5"),
                             (fused_mod.pack_coeff_wire, "i8")):
                 blob = pack(planes)
                 if blob is not None:
@@ -932,6 +933,7 @@ class JpegR:
         blob, kind = None, None
         for pack, k in ((fused_mod.pack_coeff_wire3, "i3"),
                         (fused_mod.pack_coeff_wire4, "i4"),
+                        (fused_mod.pack_coeff_wire5, "i5"),
                         (fused_mod.pack_coeff_wire, "i8")):
             blob = pack(planes)
             if blob is not None:
