@@ -1229,16 +1229,37 @@ def unpack_down_wire_1010102(buf: np.ndarray, h: int, w: int, bits: int,
     return out
 
 
+# Sticky download-wire outcome per output shape: grainy content overflows
+# the 4-bit wire on every frame (and the failed attempt still downloads the
+# whole wire buffer), so remember what worked last time for this shape and
+# start there — serving workloads are shape- and content-homogeneous.
+# 0 = raw.  UHDR_TPU_WIRE_DOWN pins a width and disables the ladder.
+_DOWN_STICKY: dict = {}
+
+
 def fetch_packed_1010102(packed_dev, *, h: int, w: int) -> np.ndarray:
-    """Download a device-resident RGBA1010102 decode output, through the
+    """Download a device-resident RGBA1010102 decode output through the
     delta wire when enabled and the content fits (2.7x fewer bytes at the
-    default 4 bits), raw otherwise."""
+    default 4 bits, 1.8x at the 6-bit fallback rung), raw otherwise."""
+    import os
+    pinned = os.environ.get("UHDR_TPU_WIRE_DOWN", "auto").strip().lower()         not in ("", "auto")
     bits = _down_wire_bits()
-    if bits:
-        wire = _pack_down_wire_1010102(packed_dev, h=h, w=w, bits=bits)
-        out = unpack_down_wire_1010102(np.asarray(wire), h, w, bits)
+    key = ("1010102", h, w)
+    if bits and not pinned:
+        start = _DOWN_STICKY.get(key, bits)
+        candidates = [start] if start else []
+        if start and start < 6:
+            candidates.append(6)
+    else:
+        candidates = [bits] if bits else []
+    for b in candidates:
+        wire = _pack_down_wire_1010102(packed_dev, h=h, w=w, bits=b)
+        out = unpack_down_wire_1010102(np.asarray(wire), h, w, b)
         if out is not None:
+            _DOWN_STICKY[key] = b
             return out
+    if not pinned and bits:
+        _DOWN_STICKY[key] = 0
     return np.asarray(packed_dev)
 
 
@@ -1283,13 +1304,22 @@ def unpack_down_wire_f16(buf: np.ndarray, h: int, w: int, bits: int,
 def fetch_packed_f16(packed_dev, *, h: int, w: int) -> np.ndarray:
     """Download a device-resident RGBAF16 decode output through the delta
     wire when enabled and the content fits (2.7x fewer bytes at the f16
-    default of 8 bits/sample/channel), raw otherwise."""
+    default of 8 bits/sample/channel), raw otherwise; overflow outcomes
+    stick per shape like the 1010102 path."""
+    import os
+    pinned = os.environ.get("UHDR_TPU_WIRE_DOWN", "auto").strip().lower()         not in ("", "auto")
     bits = _down_wire_bits(default=8)
+    key = ("f16", h, w)
+    if bits and not pinned and _DOWN_STICKY.get(key, bits) == 0:
+        return np.asarray(packed_dev)
     if bits:
         wire = _pack_down_wire_f16(packed_dev, h=h, w=w, bits=bits)
         out = unpack_down_wire_f16(np.asarray(wire), h, w, bits)
         if out is not None:
+            _DOWN_STICKY[key] = bits
             return out
+        if not pinned:
+            _DOWN_STICKY[key] = 0
     return np.asarray(packed_dev)
 
 

@@ -475,3 +475,38 @@ def test_decode_linear_down_wire_value_invisible(monkeypatch):
     monkeypatch.setenv("UHDR_TPU_WIRE_DOWN", "raw")
     via_raw = jr.decode(blob, output_ct=ColorTransfer.LINEAR)[0]
     np.testing.assert_array_equal(via_wire.planes[0], via_raw.planes[0])
+
+
+def test_down_wire_sticky_ladder(monkeypatch):
+    """Grainy-like output overflows the 4-bit down wire; the fetch must
+    climb to the 6-bit rung, remember it for the shape, and start there
+    on the next frame (no repeated wasted 4-bit attempts)."""
+    import jax.numpy as jnp
+    h, w = 192, 192                      # escapes can exceed the 8k cap
+    rs = np.random.RandomState(3)
+    # +-6 grain: 2D residual spans ~+-24 — overflows the 4-bit window
+    # (+-8) on far more than 8192 samples, fits the 6-bit window (+-32)
+    ch = (512 + rs.randint(-6, 7, (h, w))).astype(np.uint32)
+    packed = (ch | (ch << 10) | (ch << 20)
+              | np.uint32(0x3) << 30)
+    dev = jnp.asarray(packed)
+    fused._DOWN_STICKY.clear()
+    calls = []
+    orig = fused._pack_down_wire_1010102
+    def spy(p, *, h, w, bits, cap=fused._DOWN_ESC):
+        calls.append(bits)
+        return orig(p, h=h, w=w, bits=bits, cap=cap)
+    monkeypatch.setattr(fused, "_pack_down_wire_1010102", spy)
+    out1 = fused.fetch_packed_1010102(dev, h=h, w=w)
+    np.testing.assert_array_equal(out1, packed)
+    first = list(calls)
+    assert first[0] == 4 and 6 in first                      # laddered
+    sticky = fused._DOWN_STICKY.get(("1010102", h, w))
+    calls.clear()
+    out2 = fused.fetch_packed_1010102(dev, h=h, w=w)
+    np.testing.assert_array_equal(out2, packed)
+    if sticky == 6:
+        assert calls == [6]                                  # no 4-bit retry
+    else:
+        assert sticky == 0 and calls == []                   # raw sticks
+    fused._DOWN_STICKY.clear()
