@@ -95,6 +95,69 @@ extern "C" void uhdr_ycbcr_to_rgb888(const uint8_t* y, int64_t y_stride,
   }
 }
 
+// Planar variant: r/g/b written as three (h, w) planes (the host decode
+// engine keeps the RGB-coded gain map planar so the apply stage gathers
+// straight from u8 rows with no interleave round trip).  float32 math
+// (AVX-512 16-wide with scalar tail), RNE; within 1 code of the double
+// formulation at ties.
+extern "C" void uhdr_ycbcr_to_rgb_planar(const uint8_t* y, int64_t y_stride,
+                                         const uint8_t* cb, const uint8_t* cr,
+                                         int64_t c_stride, int64_t w,
+                                         int64_t h, uint8_t* ro, uint8_t* go,
+                                         uint8_t* bo) {
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+  const int64_t wsimd = w & ~(int64_t)15;
+#else
+  const int64_t wsimd = 0;
+#endif
+  for (int64_t r = 0; r < h; r++) {
+    const uint8_t* yr = y + r * y_stride;
+    const uint8_t* br = cb + r * c_stride;
+    const uint8_t* rr = cr + r * c_stride;
+    uint8_t* orow = ro + r * w;
+    uint8_t* grow_ = go + r * w;
+    uint8_t* brow_ = bo + r * w;
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+    {
+      const __m512 c128 = _mm512_set1_ps(128.0f);
+      const __m512 crv = _mm512_set1_ps(1.402f),
+                   guv = _mm512_set1_ps(-0.344136286f),
+                   gvv = _mm512_set1_ps(-0.714136286f),
+                   cbv = _mm512_set1_ps(1.772f);
+      const __m512i z = _mm512_setzero_si512(),
+                    m255 = _mm512_set1_epi32(255);
+      auto st = [&](uint8_t* dst, int64_t x, __m512 v) {
+        __m512i i = _mm512_cvtps_epi32(v);  // RNE
+        i = _mm512_min_epi32(_mm512_max_epi32(i, z), m255);
+        _mm_storeu_si128((__m128i*)(dst + x), _mm512_cvtepi32_epi8(i));
+      };
+      for (int64_t x = 0; x < wsimd; x += 16) {
+        __m512 yy = _mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
+            _mm_loadu_si128((const __m128i*)(yr + x))));
+        __m512 u = _mm512_sub_ps(_mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
+            _mm_loadu_si128((const __m128i*)(br + x)))), c128);
+        __m512 v = _mm512_sub_ps(_mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
+            _mm_loadu_si128((const __m128i*)(rr + x)))), c128);
+        st(orow, x, _mm512_fmadd_ps(crv, v, yy));
+        st(grow_, x, _mm512_fmadd_ps(guv, u, _mm512_fmadd_ps(gvv, v, yy)));
+        st(brow_, x, _mm512_fmadd_ps(cbv, u, yy));
+      }
+    }
+#endif
+    for (int64_t x = wsimd; x < w; x++) {
+      float yy = (float)yr[x];
+      float u = (float)br[x] - 128.0f;
+      float v = (float)rr[x] - 128.0f;
+      int pr = (int)lrintf(yy + 1.402f * v);
+      int pg = (int)lrintf(yy - 0.344136286f * u - 0.714136286f * v);
+      int pb = (int)lrintf(yy + 1.772f * u);
+      orow[x] = (uint8_t)(pr < 0 ? 0 : (pr > 255 ? 255 : pr));
+      grow_[x] = (uint8_t)(pg < 0 ? 0 : (pg > 255 ? 255 : pg));
+      brow_[x] = (uint8_t)(pb < 0 ? 0 : (pb > 255 ? 255 : pb));
+    }
+  }
+}
+
 // Zigzag int16 coefficient blocks -> u8 plane.
 // coeffs: (bh, bw, 64); out: (bh*8, out_stride) buffer.
 extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
@@ -261,8 +324,9 @@ inline int lut65536(float x) {
 // Fused apply-gainmap on host.
 //
 // yp/up/vp: full-range YCbCr planes (up/vp subsampled by hf/vf, own stride).
-// gm: gain map, gm_channels in {1,3}, interleaved when 3 (c fastest),
-//     dims (mh, mw), integer upsample factor k (w <= mw*k, h <= mh*k).
+// gm: gain map, gm_channels in {1,3}, dims (mh, mw), integer upsample
+//     factor k (w <= mw*k, h <= mh*k); when 3-channel, interleaved
+//     (c fastest) unless gm_planar != 0 (three consecutive mh*mw planes).
 // meta: 15 floats [gamma[3], min_boost[3], max_boost[3], off_sdr[3],
 //       off_hdr[3]]; weight: gain application weight (jpegr.cpp:1556-1568).
 // out_ct: 0 linear (F16 u64 out), 1 HLG, 2 PQ (RGBA1010102 u32 out).
@@ -272,9 +336,9 @@ inline int lut65536(float x) {
 extern "C" int uhdr_apply_gainmap_host(
     const uint8_t* yp, int64_t y_stride, const uint8_t* up, const uint8_t* vp,
     int64_t c_stride, int hf, int vf, int64_t w, int64_t h, const uint8_t* gm,
-    int gm_channels, int64_t mw, int64_t mh, int k, const float* meta,
-    float weight, int out_ct, const float* gamut_m, int gamut_pre,
-    void* out_buf) {
+    int gm_channels, int64_t mw, int64_t mh, int k, int gm_planar,
+    const float* meta, float weight, int out_ct, const float* gamut_m,
+    int gamut_pre, void* out_buf) {
   if (k < 1 || (gm_channels != 1 && gm_channels != 3)) return -1;
   if (out_ct < 0 || out_ct > 2) return -2;
 
@@ -306,9 +370,9 @@ extern "C" int uhdr_apply_gainmap_host(
   std::vector<float> ubuf(w), vbuf(w);
   std::vector<float> gp[3] = {std::vector<float>(w), std::vector<float>(w),
                               std::vector<float>(w)};
-  std::vector<int32_t> mexp[3] = {std::vector<int32_t>(w),
-                                  std::vector<int32_t>(w),
-                                  std::vector<int32_t>(w)};
+  std::vector<uint8_t> mexp[3] = {std::vector<uint8_t>(w),
+                                  std::vector<uint8_t>(w),
+                                  std::vector<uint8_t>(w)};
 
   uint32_t* out32 = (uint32_t*)out_buf;
   uint64_t* out64 = (uint64_t*)out_buf;
@@ -447,24 +511,29 @@ extern "C" int uhdr_apply_gainmap_host(
     // the 1024-grid gain LUT.
     if (k == 1) {
       int64_t my = y < mh ? y : mh - 1;
-      const uint8_t* mrow = gm + my * mw * gm_channels;
-      // de-interleave map samples to planar i32 (clamped at the right edge)
-      if (gm_channels == 3) {
+      // map sample rows as planar u8 (w <= mw at k == 1, so no right
+      // clamp on the planar path; interleaved maps de-interleave here)
+      const uint8_t* m0;
+      const uint8_t* m1;
+      const uint8_t* m2;
+      if (gm_channels == 3 && gm_planar) {
+        m0 = gm + my * mw;
+        m1 = gm + mw * mh + my * mw;
+        m2 = gm + 2 * mw * mh + my * mw;
+      } else if (gm_channels == 3) {
+        const uint8_t* mrow = gm + my * mw * 3;
         for (int64_t x = 0; x < w; x++) {
           int64_t mx = x < mw ? x : mw - 1;
           mexp[0][x] = mrow[mx * 3 + 0];
           mexp[1][x] = mrow[mx * 3 + 1];
           mexp[2][x] = mrow[mx * 3 + 2];
         }
+        m0 = mexp[0].data();
+        m1 = mexp[1].data();
+        m2 = mexp[2].data();
       } else {
-        for (int64_t x = 0; x < w; x++) {
-          int64_t mx = x < mw ? x : mw - 1;
-          mexp[0][x] = mrow[mx];
-        }
+        m0 = m1 = m2 = gm + my * mw;
       }
-      const int32_t* m0 = mexp[0].data();
-      const int32_t* m1 = mexp[gm_channels == 3 ? 1 : 0].data();
-      const int32_t* m2 = mexp[gm_channels == 3 ? 2 : 0].data();
       auto gain_scalar = [&](int64_t x0, int64_t x1) {
         for (int64_t x = x0; x < x1; x++) {
           rrow[x] = (rrow[x] + off_sdr[0]) * gain8[0][m0[x]] - off_hdr[0];
@@ -481,12 +550,12 @@ extern "C" int uhdr_apply_gainmap_host(
                      oh1 = _mm512_set1_ps(off_hdr[1]),
                      oh2 = _mm512_set1_ps(off_hdr[2]);
         for (int64_t x = 0; x < wsimd; x += 16) {
-          __m512 gr = _mm512_i32gather_ps(
-              _mm512_loadu_si512(&m0[x]), gain8[0], 4);
-          __m512 gg = _mm512_i32gather_ps(
-              _mm512_loadu_si512(&m1[x]), gain8[1], 4);
-          __m512 gb = _mm512_i32gather_ps(
-              _mm512_loadu_si512(&m2[x]), gain8[2], 4);
+          __m512 gr = _mm512_i32gather_ps(_mm512_cvtepu8_epi32(
+              _mm_loadu_si128((const __m128i*)(m0 + x))), gain8[0], 4);
+          __m512 gg = _mm512_i32gather_ps(_mm512_cvtepu8_epi32(
+              _mm_loadu_si128((const __m128i*)(m1 + x))), gain8[1], 4);
+          __m512 gb = _mm512_i32gather_ps(_mm512_cvtepu8_epi32(
+              _mm_loadu_si128((const __m128i*)(m2 + x))), gain8[2], 4);
           _mm512_storeu_ps(&rrow[x], _mm512_fmsub_ps(
               _mm512_add_ps(_mm512_loadu_ps(&rrow[x]), os0), gr, oh0));
           _mm512_storeu_ps(&grow[x], _mm512_fmsub_ps(
@@ -513,10 +582,13 @@ extern "C" int uhdr_apply_gainmap_host(
         int t = (bottom ? 2 : 0) + (right ? 1 : 0);
         const float* wrow = &shep[((int64_t)(t * k + py) * k) * 4];
         for (int c = 0; c < gm_channels; c++) {
-          float e1 = gm[(my * mw + mx) * gm_channels + c];
-          float e2 = gm[(my1 * mw + mx) * gm_channels + c];
-          float e3 = gm[(my * mw + mx1) * gm_channels + c];
-          float e4 = gm[(my1 * mw + mx1) * gm_channels + c];
+          const uint8_t* base = gm_planar ? gm + (int64_t)c * mw * mh : gm;
+          int64_t stride = gm_planar ? 1 : gm_channels;
+          int64_t coff = gm_planar ? 0 : c;
+          float e1 = base[(my * mw + mx) * stride + coff];
+          float e2 = base[(my1 * mw + mx) * stride + coff];
+          float e3 = base[(my * mw + mx1) * stride + coff];
+          float e4 = base[(my1 * mw + mx1) * stride + coff];
           for (int64_t xx = x; xx < xe; xx++) {
             const float* wt = &wrow[(xx - mx * k) * 4];
             float gv = (wt[0] * e1 + wt[1] * e2 + wt[2] * e3 + wt[3] * e4) *

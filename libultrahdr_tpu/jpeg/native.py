@@ -133,10 +133,33 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-                ctypes.c_void_p, ctypes.c_float, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_float, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+            lib.uhdr_ycbcr_to_rgb_planar.restype = None
+            lib.uhdr_ycbcr_to_rgb_planar.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p]
             _LIB = lib
     return _LIB
+
+
+def ycbcr_to_rgb_planar(y: np.ndarray, cb: np.ndarray,
+                        cr: np.ndarray) -> np.ndarray:
+    """Full-range Rec.601 (h, w) u8 YCbCr planes -> (3, h, w) u8 planar
+    RGB (SIMD; the host decode engine keeps the multichannel gain map
+    planar so the apply gathers straight from u8 rows)."""
+    lib = get_lib()
+    y = np.ascontiguousarray(y, np.uint8)
+    cb = np.ascontiguousarray(cb, np.uint8)
+    cr = np.ascontiguousarray(cr, np.uint8)
+    h, w = y.shape
+    out = np.empty((3, h, w), np.uint8)
+    lib.uhdr_ycbcr_to_rgb_planar(
+        y.ctypes.data, w, cb.ctypes.data, cr.ctypes.data, w, w, h,
+        out[0].ctypes.data, out[1].ctypes.data, out[2].ctypes.data)
+    return out
 
 
 def ycbcr_to_rgb888(y: np.ndarray, cb: np.ndarray,
@@ -191,18 +214,23 @@ def apply_gainmap_host(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                        gm: np.ndarray, k: int, meta15: np.ndarray,
                        weight: float, out_ct: int,
                        gamut_m: np.ndarray | None,
-                       gamut_pre: bool) -> np.ndarray:
+                       gamut_pre: bool,
+                       gm_planar: bool = False) -> np.ndarray:
     """Fused host apply (host_decode.cpp uhdr_apply_gainmap_host).
 
-    gm: (mh, mw) u8 or (mh, mw, 3) u8.  Returns (h, w) uint32 packed
-    RGBA1010102 (out_ct 1/2) or (h, w) uint64 packed RGBAF16 (out_ct 0)."""
+    gm: (mh, mw) u8 single-channel, (mh, mw, 3) u8 interleaved, or
+    (3, mh, mw) u8 planar.  Returns (h, w) uint32 packed RGBA1010102
+    (out_ct 1/2) or (h, w) uint64 packed RGBAF16 (out_ct 0)."""
     lib = get_lib()
     yc = np.ascontiguousarray(y, np.uint8)
     uc = np.ascontiguousarray(u, np.uint8)
     vc = np.ascontiguousarray(v, np.uint8)
     gmc = np.ascontiguousarray(gm, np.uint8)
     ch = 3 if gmc.ndim == 3 else 1
-    mh, mw = gmc.shape[:2]
+    planar = bool(gm_planar)
+    if planar:
+        assert gmc.ndim == 3 and gmc.shape[0] == 3
+    mh, mw = gmc.shape[1:3] if planar else gmc.shape[:2]
     m = np.ascontiguousarray(meta15, np.float32).reshape(15)
     gp = None
     if gamut_m is not None:
@@ -211,7 +239,7 @@ def apply_gainmap_host(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     rc = lib.uhdr_apply_gainmap_host(
         yc.ctypes.data, yc.shape[1], uc.ctypes.data, vc.ctypes.data,
         uc.shape[1], hf, vf, w, h, gmc.ctypes.data, ch, mw, mh, k,
-        m.ctypes.data, float(weight), int(out_ct),
+        int(planar), m.ctypes.data, float(weight), int(out_ct),
         gp.ctypes.data if gp is not None else None, int(bool(gamut_pre)),
         out.ctypes.data)
     if rc != 0:

@@ -804,6 +804,7 @@ class JpegR:
         planes = []
         for i, (c, q) in enumerate(zip(base_coeffs, base_qts)):
             planes.append(jnative.idct_plane(c, q))
+        gm_planar = gm_info.num_components == 3
         if gm_info.num_components == 1:
             gm_u8 = jnative.idct_plane(gm_coeffs[0], gm_qts[0])[:mh, :mw]
         else:
@@ -811,7 +812,8 @@ class JpegR:
             gcb = jnative.idct_plane(gm_coeffs[1], gm_qts[1])[:mh, :mw]
             gcr = jnative.idct_plane(gm_coeffs[2], gm_qts[2])[:mh, :mw]
             # RGB-coded gain map (full-range Rec601 YCbCr -> RGB), native
-            gm_u8 = jnative.ycbcr_to_rgb888(gy, gcb, gcr)
+            # SIMD, kept planar so the apply gathers from u8 rows directly
+            gm_u8 = jnative.ycbcr_to_rgb_planar(gy, gcb, gcr)
 
         weight = apply_ops.gainmap_weight(
             max_display_boost, float(metadata.hdr_capacity_min),
@@ -830,7 +832,7 @@ class JpegR:
         packed = jnative.apply_gainmap_host(
             planes[0], planes[1], planes[2], hf, vf, w, h, gm_u8, scale_k,
             meta15, weight, ct_code, gm_arg,
-            gamut_pre=not bool(metadata.use_base_cg))
+            gamut_pre=not bool(metadata.use_base_cg), gm_planar=gm_planar)
 
         if output_ct == ColorTransfer.LINEAR:
             comp = packed[..., None].view(np.uint16).reshape(h, w, 4)
