@@ -31,7 +31,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#if defined(__AVX512F__)
+#if defined(__AVX512F__) || defined(__AVX2__)
 #include <immintrin.h>
 #endif
 #include <vector>
@@ -165,6 +165,9 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
                                 int64_t out_stride) {
   float B[64];
   build_idct_basis(B);
+  float Bt[64];  // Bt[v][x] = B[x][v] (columns of B as rows)
+  for (int v = 0; v < 8; v++)
+    for (int x = 0; x < 8; x++) Bt[v * 8 + x] = B[x * 8 + v];
   float dq[64];  // dequant multipliers in zigzag load order
   for (int zz = 0; zz < 64; zz++)
     dq[zz] = (float)qt_natural[kZigzagToNatural[zz]];
@@ -195,6 +198,57 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
       for (int i = 0; i < 64; i++) F[i] = 0.0f;
       for (int zz = 0; zz <= last; zz++)
         F[kZigzagToNatural[zz]] = (float)src[zz] * dq[zz];
+#if defined(__AVX2__) && defined(__FMA__)
+      // row-vector form: T_row[y] = sum_u B[y][u] * F_row[u];
+      // S_row[y] = sum_v T[y][v] * Brow[x over v]... second pass uses
+      // broadcastss from the stored T.  u/v loops bounded by the block's
+      // frequency support (grainy content still clusters low).
+      {
+        __m256 Frow[8];
+        for (int u = 0; u <= umax; u++) Frow[u] = _mm256_loadu_ps(F + u * 8);
+        for (int y = 0; y < 8; y++) {
+          // two accumulators hide the fma latency chain
+          __m256 acc = _mm256_mul_ps(_mm256_set1_ps(B[y * 8]), Frow[0]);
+          __m256 acc2 = _mm256_setzero_ps();
+          int u = 1;
+          for (; u + 1 <= umax; u += 2) {
+            acc = _mm256_fmadd_ps(_mm256_set1_ps(B[y * 8 + u]), Frow[u], acc);
+            acc2 = _mm256_fmadd_ps(_mm256_set1_ps(B[y * 8 + u + 1]),
+                                   Frow[u + 1], acc2);
+          }
+          if (u <= umax)
+            acc = _mm256_fmadd_ps(_mm256_set1_ps(B[y * 8 + u]), Frow[u], acc);
+          _mm256_storeu_ps(T + y * 8, _mm256_add_ps(acc, acc2));
+        }
+        const __m256 c128 = _mm256_set1_ps(128.0f);
+        const __m256i zero8 = _mm256_setzero_si256(),
+                      max8 = _mm256_set1_epi32(255);
+        for (int y = 0; y < 8; y++) {
+          __m256 acc = _mm256_mul_ps(_mm256_set1_ps(T[y * 8]),
+                                     _mm256_loadu_ps(Bt));       // Bcol v=0
+          __m256 acc2 = _mm256_setzero_ps();
+          int v = 1;
+          for (; v + 1 <= vmax; v += 2) {
+            acc = _mm256_fmadd_ps(_mm256_set1_ps(T[y * 8 + v]),
+                                  _mm256_loadu_ps(Bt + v * 8), acc);
+            acc2 = _mm256_fmadd_ps(_mm256_set1_ps(T[y * 8 + v + 1]),
+                                   _mm256_loadu_ps(Bt + (v + 1) * 8), acc2);
+          }
+          if (v <= vmax)
+            acc = _mm256_fmadd_ps(_mm256_set1_ps(T[y * 8 + v]),
+                                  _mm256_loadu_ps(Bt + v * 8), acc);
+          acc = _mm256_add_ps(acc, acc2);
+          __m256i i32 = _mm256_cvtps_epi32(_mm256_add_ps(acc, c128));
+          i32 = _mm256_min_epi32(_mm256_max_epi32(i32, zero8), max8);
+          // 8 x i32 -> 8 x u8
+          __m128i lo = _mm256_castsi256_si128(i32);
+          __m128i hi = _mm256_extracti128_si256(i32, 1);
+          __m128i p16 = _mm_packus_epi32(lo, hi);
+          __m128i p8 = _mm_packus_epi16(p16, p16);
+          _mm_storel_epi64((__m128i*)(dst + y * out_stride), p8);
+        }
+      }
+#else
       // T = B . F  (rows: spatial y, cols: freq v), u/v loops bounded by
       // the block's frequency support
       for (int y = 0; y < 8; y++)
@@ -213,6 +267,7 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
       for (int r = 0; r < 8; r++)
         for (int c = 0; c < 8; c++)
           dst[r * out_stride + c] = clamp_u8(S[r * 8 + c] + 128.0f);
+#endif
     }
   }
 }
