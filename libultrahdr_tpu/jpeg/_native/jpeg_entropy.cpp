@@ -568,7 +568,27 @@ struct BitReader {
 
   // Load more bits; at markers feed zero bits (T.81 F.2.2.5 behavior for
   // truncated data keeps decode bounded).
+  static inline bool has_ff(uint64_t v) {
+    uint64_t t = v ^ 0xFFFFFFFFFFFFFFFFull;  // FF bytes -> 00
+    return ((t - 0x0101010101010101ull) & ~t
+            & 0x8080808080808080ull) != 0;
+  }
+
   void fill() {
+    // fast path: next 8 bytes contain no 0xFF (no stuffing, no marker) —
+    // bulk-insert as many whole bytes as fit
+    if (nbits <= 56 && pos + 8 <= size) {
+      uint64_t chunk;
+      memcpy(&chunk, data + pos, 8);
+      if (!has_ff(chunk)) {
+        uint64_t bs = __builtin_bswap64(chunk);
+        int k = (64 - nbits) >> 3;
+        acc |= (bs >> nbits) & (~0ull << (64 - nbits - 8 * k));
+        pos += k;
+        nbits += 8 * k;
+        return;
+      }
+    }
     while (nbits <= 56) {
       if (pos >= size) {
         truncated = true;
