@@ -567,10 +567,33 @@ class UhdrDecoder(_Context):
                 f"unsupported output pixel format {fmt} and output color "
                 f"transfer {ct} pair")
         jr = JpegR()
-        dest, metadata, gm_img = jr.decode(
-            self._data, output_ct=ct, output_fmt=fmt,
-            max_display_boost=self._max_display_boost, return_gainmap=True,
-            use_fused=self._gpu)
+        # engine routing: the native SIMD host engine delivers host-memory
+        # HDR output fastest on hosts whose device link is slow (the same
+        # choice the reference makes between its CPU and GLES paths —
+        # engines agree within the >=60 dB contract).  UHDR_TPU_DECODE_ENGINE
+        # pins: auto (default) | host | device | general;
+        # enable_gpu_acceleration(0) keeps forcing the general path.
+        import os
+        engine = os.environ.get("UHDR_TPU_DECODE_ENGINE", "auto").lower()
+        dest = None
+        if (self._gpu and ct != ColorTransfer.SRGB
+                and engine in ("auto", "host")):
+            try:
+                dest, metadata, gm_img = jr.decode_host(
+                    self._data, output_ct=ct,
+                    max_display_boost=self._max_display_boost,
+                    return_gainmap=True)
+            except UhdrError as e:
+                if (engine == "host"
+                        or e.code != UhdrErrorCode.UHDR_CODEC_UNSUPPORTED_FEATURE):
+                    raise
+                dest = None
+        if dest is None:
+            dest, metadata, gm_img = jr.decode(
+                self._data, output_ct=ct, output_fmt=fmt,
+                max_display_boost=self._max_display_boost,
+                return_gainmap=True,
+                use_fused=self._gpu and engine != "general")
         self._decoded = dest
         self._gainmap_img = gm_img
         if self._effects:

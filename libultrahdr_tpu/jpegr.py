@@ -739,7 +739,8 @@ class JpegR:
 
     def decode_host(self, data: bytes, output_ct=ColorTransfer.HLG,
                     output_fmt=ImgFmt.RGBA1010102,
-                    max_display_boost: float = 3.4028235e38):
+                    max_display_boost: float = 3.4028235e38,
+                    return_gainmap: bool = False):
         """Decode entirely on the HOST CPU (native C++ engine): Huffman +
         IDCT + fused apply-gainmap in one pass (jpeg/_native/host_decode.cpp).
 
@@ -841,7 +842,18 @@ class JpegR:
         else:
             dest = RawImage(ImgFmt.RGBA1010102, h_cg, output_ct,
                             ColorRange.FULL, w, h, [packed])
-        return dest, metadata
+        if not return_gainmap:
+            return dest, metadata
+        if gm_info.num_components == 1:
+            gm_img = RawImage(ImgFmt.YUV400, ColorGamut(gm_cg),
+                              ColorTransfer.UNSPECIFIED, ColorRange.FULL,
+                              mw, mh, [gm_u8])
+        else:
+            rgb = np.ascontiguousarray(np.moveaxis(gm_u8, 0, -1))
+            gm_img = RawImage(ImgFmt.RGB888, ColorGamut(gm_cg),
+                              ColorTransfer.UNSPECIFIED, ColorRange.FULL,
+                              mw, mh, [rgb])
+        return dest, metadata, gm_img
 
     def _try_decode_fused(self, primary, pinfo, gm_jpeg, gm_info, metadata,
                           output_ct, max_display_boost, sdr_cg, gm_cg):
