@@ -180,6 +180,12 @@ def main(argv=None):
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="write the result matrix as a JSON artifact "
                          "(BENCHMATRIX_r*.json for the judge)")
+    ap.add_argument("--scene", choices=["mosaic", "grainy"],
+                    default="mosaic",
+                    help="content: 'mosaic' tiles the reference's P010 "
+                         "test fixture (a flat 8-value chart — flattering "
+                         "for entropy/transfer-bound stages), 'grainy' is "
+                         "the real-entropy scene (BASELINE.md variants)")
     args = ap.parse_args(argv)
 
     if args.quick:
@@ -189,7 +195,7 @@ def main(argv=None):
     if args.size:
         w, h = (int(x) for x in args.size.lower().split("x"))
     mp = w * h / 1e6
-    hdr = natural_p010(w, h)
+    hdr = (grainy_p010 if args.scene == "grainy" else natural_p010)(w, h)
     rows = []
 
     def run(name, f):
