@@ -163,23 +163,42 @@ class TestGpuAccelerationToggle:
         jr = JpegR(map_dimension_scale_factor=2, preset=EncPreset.REALTIME)
         return jr.encode_api0(_p010(), quality=92)
 
-    def test_decode_general_path_close_to_fused(self):
+    def _decode_with(self, data, enable, engine=None, monkey=None):
+        if engine is not None:
+            monkey.setenv("UHDR_TPU_DECODE_ENGINE", engine)
+        dec = api.UhdrDecoder()
+        dec.enable_gpu_acceleration(enable)
+        dec.set_image(data)
+        dec.set_out_color_transfer(ColorTransfer.HLG)
+        dec.set_out_img_format(ImgFmt.RGBA1010102)
+        return np.asarray(dec.decode().planes[0])
+
+    def test_decode_general_path_close_to_fused(self, monkeypatch):
         data = self._encode()
-        outs = []
-        for enable in (True, False):
-            dec = api.UhdrDecoder()
-            dec.enable_gpu_acceleration(enable)
-            dec.set_image(data)
-            dec.set_out_color_transfer(ColorTransfer.HLG)
-            dec.set_out_img_format(ImgFmt.RGBA1010102)
-            outs.append(np.asarray(dec.decode().planes[0]))
-        a, b = outs
-        # same pipeline, two backends: per-channel 10-bit values must agree
-        # within 1 code (transcendental association differences only)
-        for sh, mask in ((0, 0x3FF), (10, 0x3FF), (20, 0x3FF)):
-            da = ((a >> sh) & mask).astype(np.int32)
-            db = ((b >> sh) & mask).astype(np.int32)
+        # device engine vs the gpu-off general path: same math, two XLA
+        # programs — per-channel 10-bit values agree within 1 code
+        a = self._decode_with(data, True, "device", monkeypatch)
+        b = self._decode_with(data, False)
+        for sh in (0, 10, 20):
+            da = ((a >> sh) & 0x3FF).astype(np.int32)
+            db = ((b >> sh) & 0x3FF).astype(np.int32)
             assert np.abs(da - db).max() <= 1
+
+    def test_decode_host_engine_close_to_general(self, monkeypatch):
+        """The default (auto -> native SIMD host) engine reproduces the
+        general path within the cross-engine contract (the host engine
+        uses the reference's LUT discretizations, the general path exact
+        math on the same grids: >=55 dB, small code deltas)."""
+        data = self._encode()
+        a = self._decode_with(data, True, "auto", monkeypatch)
+        b = self._decode_with(data, False)
+        for sh in (0, 10, 20):
+            da = ((a >> sh) & 0x3FF).astype(np.float64)
+            db = ((b >> sh) & 0x3FF).astype(np.float64)
+            mse = np.mean((da - db) ** 2)
+            psnr = 200.0 if mse == 0 else 10 * np.log10(1023.0 ** 2 / mse)
+            assert psnr >= 55.0, psnr
+            assert np.abs(da - db).max() <= 8
 
     def test_encode_general_path_valid(self):
         enc = api.UhdrEncoder()
