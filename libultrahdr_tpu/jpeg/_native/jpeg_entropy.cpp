@@ -30,9 +30,9 @@ struct DecTable {
   int32_t maxcode[18];  // maxcode[17] sentinel
   int32_t valptr[17];
   uint8_t values[256];
-  // fast lookup for first 8 bits: symbol and length (0 = miss)
-  uint8_t look_sym[256];
-  uint8_t look_len[256];
+  // fast lookup for first 10 bits: symbol and length (0 = miss)
+  uint8_t look_sym[1024];
+  uint8_t look_len[1024];
 };
 
 void build_enc_table(const uint8_t* bits, const uint8_t* vals, EncTable* t) {
@@ -66,15 +66,15 @@ void build_dec_table(const uint8_t* bits, const uint8_t* vals, DecTable* t) {
     code <<= 1;
   }
   t->maxcode[17] = 0x7FFFFFFF;
-  // 8-bit lookahead
+  // 10-bit lookahead
   std::memset(t->look_len, 0, sizeof(t->look_len));
   int c = 0;
   k = 0;
-  for (int len = 1; len <= 8; len++) {
+  for (int len = 1; len <= 10; len++) {
     for (int i = 0; i < bits[len - 1]; i++, k++, c++) {
-      // all 8-bit sequences with this prefix decode to vals[k]
-      int lo = c << (8 - len);
-      int hi = lo + (1 << (8 - len));
+      // all 10-bit sequences with this prefix decode to vals[k]
+      int lo = c << (10 - len);
+      int hi = lo + (1 << (10 - len));
       for (int j = lo; j < hi; j++) {
         t->look_sym[j] = vals[k];
         t->look_len[j] = (uint8_t)len;
@@ -643,12 +643,12 @@ inline int huff_extend(int v, int s) {
 }
 
 int decode_symbol(BitReader& br, const DecTable& t) {
-  uint32_t look = br.peek(8);
+  uint32_t look = br.peek(10);
   if (t.look_len[look]) {
     br.skip(t.look_len[look]);
     return t.look_sym[look];
   }
-  // slow path: lengths 9..16
+  // slow path: lengths 11..16
   int code = 0;
   int len = 0;
   code = (int)br.peek(16);
