@@ -288,10 +288,13 @@ def _decode_progressive_coeffs(data: bytes, info: JpegInfo, comps,
     return coeff_arrays
 
 
-def decode_to_planes(data: bytes, info: JpegInfo | None = None):
+def decode_to_planes(data: bytes, info: JpegInfo | None = None,
+                     engine: str = "device"):
     """Decode to subsampled YCbCr planes (DECODE_TO_YCBCR mode).
 
-    Returns (planes list of uint8 np arrays, fmt)."""
+    engine "device" runs the IDCT as an XLA program (MXU on TPU);
+    "host" uses the native C++ IDCT (bit-agreement within 1 code) and
+    touches no device.  Returns (planes list of uint8 np arrays, fmt)."""
     if info is None:
         info = parse_jpeg(data)
     _validate(info)
@@ -317,9 +320,54 @@ def decode_to_planes(data: bytes, info: JpegInfo | None = None):
         # stored plane dims: ceil(w*h_i/hmax) x ceil(h*v_i/vmax)
         pw = -(-info.width * c.h // hmax)
         ph = -(-info.height * c.v // vmax)
-        plane = np.asarray(inverse_plane(jnp.asarray(coeff_arrays[i]), q, ph, pw))
+        if engine == "host":
+            plane = native.idct_plane(
+                np.asarray(coeff_arrays[i]),
+                np.asarray(q, np.int32))[:ph, :pw]
+        else:
+            plane = np.asarray(inverse_plane(jnp.asarray(coeff_arrays[i]),
+                                             q, ph, pw))
         planes.append(plane)
     return planes, fmt
+
+
+def _ycc_to_rgb_np(y, cb, cr, fmt_key: str, h: int, w: int):
+    """Host (numpy) mirror of _ycc_to_rgb: libjpeg fancy triangular chroma
+    upsample + full-range Rec.601 YCbCr->RGB."""
+    yf = y.astype(np.float32)
+    cbf = cb.astype(np.float32)
+    crf = cr.astype(np.float32)
+
+    def up_h(c):
+        left = np.concatenate([c[:, :1], c[:, :-1]], axis=1)
+        right = np.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+        a = 0.75 * c + 0.25 * left
+        b = 0.75 * c + 0.25 * right
+        return np.stack([a, b], axis=-1).reshape(c.shape[0], -1)
+
+    def up_v(c):
+        upr = np.concatenate([c[:1], c[:-1]], axis=0)
+        dnr = np.concatenate([c[1:], c[-1:]], axis=0)
+        a = 0.75 * c + 0.25 * upr
+        b = 0.75 * c + 0.25 * dnr
+        return np.stack([a, b], axis=1).reshape(-1, c.shape[1])
+
+    if fmt_key in ("420", "410"):
+        cbf, crf = up_v(cbf), up_v(crf)
+    if fmt_key == "440":
+        cbf, crf = up_v(cbf), up_v(crf)
+    if fmt_key in ("420", "422"):
+        cbf, crf = up_h(cbf), up_h(crf)
+    if fmt_key in ("411", "410"):
+        cbf, crf = up_h(up_h(cbf)), up_h(up_h(crf))
+    cbf = cbf[:h, :w] - 128.0
+    crf = crf[:h, :w] - 128.0
+    yf = yf[:h, :w]
+    r = yf + 1.402 * crf
+    g = yf - 0.344136286 * cbf - 0.714136286 * crf
+    b = yf + 1.772 * cbf
+    rgb = np.stack([r, g, b])
+    return np.clip(np.round(rgb), 0.0, 255.0).astype(np.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("fmt_key", "h", "w"))
@@ -366,12 +414,18 @@ def _ycc_to_rgb(y, cb, cr, fmt_key: str, h: int, w: int):
     return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
 
 
-def decode_to_rgba(data: bytes, info: JpegInfo | None = None) -> np.ndarray:
+def decode_to_rgba(data: bytes, info: JpegInfo | None = None,
+                   engine: str = "host") -> np.ndarray:
     """Decode to packed RGBA8888 uint32 (H, W) (DECODE_TO_RGB_CS mode,
-    RGBA output like libjpeg-turbo JCS_EXT_RGBA, alpha=255)."""
+    RGBA output like libjpeg-turbo JCS_EXT_RGBA, alpha=255).
+
+    Host engine by default: the SDR/base output lives in host memory, so
+    the device round trip (coefficient upload + 33 MB RGBA download)
+    always loses on this class of link, and the path stays usable when
+    the device backend is down."""
     if info is None:
         info = parse_jpeg(data)
-    planes, fmt = decode_to_planes(data, info)
+    planes, fmt = decode_to_planes(data, info, engine=engine)
     h, w = info.height, info.width
     if fmt == ImgFmt.YUV400:
         y = planes[0].astype(np.uint32)
@@ -380,8 +434,12 @@ def decode_to_rgba(data: bytes, info: JpegInfo | None = None) -> np.ndarray:
     key = {ImgFmt.YUV444: "444", ImgFmt.YUV440: "440", ImgFmt.YUV422: "422",
            ImgFmt.YUV420: "420", ImgFmt.YUV411: "411",
            ImgFmt.YUV410: "410"}[fmt]
-    rgb = np.asarray(_ycc_to_rgb(jnp.asarray(planes[0]), jnp.asarray(planes[1]),
-                                 jnp.asarray(planes[2]), key, h, w))
+    if engine == "host":
+        rgb = _ycc_to_rgb_np(planes[0], planes[1], planes[2], key, h, w)
+    else:
+        rgb = np.asarray(_ycc_to_rgb(
+            jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+            jnp.asarray(planes[2]), key, h, w))
     packed = (rgb[0].astype(np.uint32) | (rgb[1].astype(np.uint32) << 8)
               | (rgb[2].astype(np.uint32) << 16) | np.uint32(0xFF000000))
     return packed
