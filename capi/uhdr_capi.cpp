@@ -536,7 +536,7 @@ extern "C" uhdr_raw_image_t* uhdr_get_decoded_image(
              : nullptr;
 }
 
-extern "C" uhdr_raw_image_t* uhdr_get_gain_map_image(
+extern "C" uhdr_raw_image_t* uhdr_get_decoded_gainmap_image(
     uhdr_codec_private_t* dec) {
   Handle* h = as_handle(dec);
   if (!h) return nullptr;

@@ -671,7 +671,7 @@ Java_com_google_media_codecs_ultrahdr_UltraHDRDecoder_getDecodedGainMapImageNati
     JNIEnv* env, jobject thiz) {
   uhdr_codec_private_t* dec = get_handle(env, thiz);
   if (!dec) return nullptr;
-  uhdr_raw_image_t* img = uhdr_get_gain_map_image(dec);
+  uhdr_raw_image_t* img = uhdr_get_decoded_gainmap_image(dec);
   if (!img || !img->planes[0]) {
     throw_io(env, "no decoded gain map; call decode() first");
     return nullptr;
