@@ -1010,81 +1010,262 @@ def pack_coeff_wire5(planes) -> bytes | None:
     return pack_coeff_wire_n(planes, 5)
 
 
-def _unpack_coeff_wire_n(blob, plane_shapes: tuple, bits: int):
-    """Device half of pack_coeff_wire_n: un-slice the `bits`-wide AC codes
-    (static shift-ands per 32-sample group, no gather), patch escapes,
-    and rebuild int32 coefficient arrays."""
+def _sparse_cap(n_ac: int, pct: int = 12) -> int:
+    """Compacted-value capacity of the sparse coefficient wire: pct% of
+    samples, 4096-aligned (static per plane shape).  Measured nonzero-AC
+    density at q95: ~0.8% on the reference's photographic fixture mosaic,
+    ~9% base / ~25% gain map on the grainy (real-capture-entropy)
+    variant — hence the 12% ("sp") and 28% ("sq") rungs."""
+    return max(4096, -(-(n_ac * pct // 100) // 4096) * 4096)
+
+
+def _sparse_esc(n_ac: int) -> int:
+    """Escape capacity (|v| > 127 among the nonzeros) of the sparse wire."""
+    return max(2048, -(-n_ac // 1024 // 2048) * 2048)
+
+
+def _pack_sparse_one(c, pct: int) -> bytes | None:
+    """One plane of the sparse coefficient wire (see pack_coeff_wire_best):
+    nonzero ACs are the exception, not the rule (quantization at q95
+    zeroes >90% of them), so spend 1 bit/sample on an occupancy mask and
+    ship only the nonzero values, compacted to a static pct% cap —
+    ~2 bits/AC at 12% vs 3-5 for the bit-slice rungs.  Layout:
+    [dc i16][mask u32, bit i of word g = (ac[32g+i] != 0)][vals i8 x cap]
+    [esc_idx i32][esc_val i16] (escapes index the COMPACTED value array).
+    None when the nonzeros exceed the cap (dense plane; caller tries the
+    bit-slice rungs next)."""
+    a = np.asarray(c)
+    dc = np.ascontiguousarray(a[..., 0], np.int16)
+    ac = np.ascontiguousarray(a[..., 1:], np.int16).reshape(-1)
+    nz = ac != 0
+    v = ac[nz]
+    cap = _sparse_cap(ac.size, pct)
+    if v.size > cap:
+        return None
+    esc = (v < -128) | (v > 127)
+    ecap = _sparse_esc(ac.size)
+    eidx = np.flatnonzero(esc).astype(np.int32)
+    if eidx.size > ecap:
+        return None
+    g = -(-ac.size // 32)
+    mask = np.zeros(4 * g, np.uint8)
+    mask[:(nz.size + 7) // 8] = np.packbits(nz, bitorder="little")
+    vals = np.zeros(cap, np.int8)
+    vals[:v.size] = np.clip(v, -128, 127).astype(np.int8)
+    esc_idx = np.full(ecap, 1 << 30, np.int32)
+    esc_val = np.zeros(ecap, np.int16)
+    esc_idx[:eidx.size] = eidx
+    esc_val[:eidx.size] = v[eidx]
+    return b"".join([dc.tobytes(), mask.tobytes(), vals.tobytes(),
+                     esc_idx.tobytes(), esc_val.tobytes()])
+
+
+def pack_coeff_wire_sparse(planes) -> bytes | None:
+    """Uniform-kind sparse wire over all planes (12% cap); None when any
+    plane is too dense.  pack_coeff_wire_best picks rungs per plane."""
+    parts = []
+    for c in planes:
+        b = _pack_sparse_one(c, 12)
+        if b is None:
+            return None
+        parts.append(b)
+    return b"".join(parts)
+
+
+# per-plane packers, smallest wire first (sp ~2.1 bits/AC, sq ~3.2,
+# i3/i4/i5 bit slices, i8 dense bytes); first fit wins
+_PLANE_KINDS = ("sp", "sq", "i3", "i4", "i5", "i8")
+
+
+def _pack_plane(c, kind: str) -> bytes | None:
+    if kind == "sp":
+        return _pack_sparse_one(c, 12)
+    if kind == "sq":
+        return _pack_sparse_one(c, 28)
+    if kind == "i8":
+        return pack_coeff_wire([c])
+    return pack_coeff_wire_n([c], int(kind[1:]))
+
+
+def pack_coeff_wire_best(planes):
+    """Per-plane smallest-fitting coefficient wire: each plane rides its
+    own rung (a grainy image's gain-map plane is routinely 3x denser than
+    its base planes, and one dense plane must not force the whole image
+    onto a wide wire).  Returns (blob bytes, kind str) where kind is
+    either a single rung name (all planes agree — reuses the uniform
+    compiled programs) or comma-joined per-plane rungs; (None, None) when
+    some plane fits no rung (pathological escape density; caller uses the
+    per-plane legacy upload)."""
+    parts, kinds = [], []
+    for c in planes:
+        for kind in _PLANE_KINDS:
+            b = _pack_plane(c, kind)
+            if b is not None:
+                parts.append(b)
+                kinds.append(kind)
+                break
+        else:
+            return None, None
+    kind = kinds[0] if len(set(kinds)) == 1 else ",".join(kinds)
+    return b"".join(parts), kind
+
+
+# kept for compatibility with callers that pinned a uniform ladder
+COEFF_WIRE_LADDER = ((pack_coeff_wire_sparse, "sp"),
+                     (pack_coeff_wire3, "i3"),
+                     (pack_coeff_wire4, "i4"),
+                     (pack_coeff_wire5, "i5"),
+                     (pack_coeff_wire, "i8"))
+
+
+def _unpack_one_sparse(blob, off: int, bh: int, bw: int, pct: int):
+    """Device half of _pack_sparse_one: expand the occupancy mask,
+    prefix-sum it into positions in the compacted value array, and gather
+    the nonzeros back into place (one vectorized cumsum + gather; no
+    data-dependent shapes)."""
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    n = bh * bw
+    n_ac = n * 63
+    dc = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 2 * n]).reshape(n, 2),
+        jnp.int16).reshape(bh, bw)
+    off += 2 * n
+    g = -(-n_ac // 32)
+    mask_w = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 4 * g]).reshape(g, 4),
+        jnp.uint32).reshape(g, 1)
+    off += 4 * g
+    cap = _sparse_cap(n_ac, pct)
+    vals = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + cap]), jnp.int8).reshape(-1)
+    off += cap
+    ecap = _sparse_esc(n_ac)
+    eidx = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 4 * ecap]).reshape(ecap, 4),
+        jnp.int32).reshape(-1)
+    off += 4 * ecap
+    eval_ = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 2 * ecap]).reshape(ecap, 2),
+        jnp.int16).reshape(-1)
+    off += 2 * ecap
+    v32 = vals.astype(jnp.int32).at[eidx].set(
+        eval_.astype(jnp.int32), mode="drop")
+    bits = ((mask_w >> lanes) & 1).astype(jnp.int32).reshape(-1)[:n_ac]
+    pos = jnp.cumsum(bits) - 1
+    ac = jnp.where(bits == 1,
+                   jnp.take(v32, jnp.clip(pos, 0, cap - 1)), 0)
+    plane = jnp.concatenate(
+        [dc[..., None].astype(jnp.int32), ac.reshape(bh, bw, 63)], axis=-1)
+    return plane, off
+
+
+def _unpack_one_n(blob, off: int, bh: int, bw: int, bits: int):
+    """Device half of one pack_coeff_wire_n plane: un-slice the
+    `bits`-wide AC codes (static shift-ands per 32-sample group, no
+    gather) and patch escapes."""
     lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
     half = 1 << (bits - 1)
+    n = bh * bw
+    n_ac = n * 63
+    dc = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 2 * n]).reshape(n, 2),
+        jnp.int16).reshape(bh, bw)
+    off += 2 * n
+    g = -(-n_ac // 32)
+    words = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off],
+                      [off + 4 * bits * g]).reshape(bits * g, 4),
+        jnp.uint32).reshape(g, bits)
+    off += 4 * bits * g
+    cap = _esc_cap4(n_ac)
+    idx = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 4 * cap]).reshape(cap, 4),
+        jnp.int32).reshape(-1)
+    off += 4 * cap
+    val = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 2 * cap]).reshape(cap, 2),
+        jnp.int16).reshape(-1)
+    off += 2 * cap
+    s = jnp.zeros((g, 32), jnp.int32)
+    for j in range(bits):
+        s = s | (((words[:, j:j + 1] >> lanes) & 1) << j).astype(jnp.int32)
+    ac = s.reshape(-1)[:n_ac] - half
+    ac = ac.at[idx].set(val.astype(jnp.int32), mode="drop")
+    plane = jnp.concatenate(
+        [dc[..., None].astype(jnp.int32), ac.reshape(bh, bw, 63)], axis=-1)
+    return plane, off
+
+
+def _unpack_one_i8(blob, off: int, bh: int, bw: int):
+    """Device half of one pack_coeff_wire plane (dense int8 + escapes)."""
+    n = bh * bw
+    dc = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 2 * n]).reshape(n, 2),
+        jnp.int16).reshape(bh, bw)
+    off += 2 * n
+    ac8 = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 63 * n]),
+        jnp.int8).reshape(bh, bw, 63)
+    off += 63 * n
+    idx = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 4 * _ESC_CAP])
+        .reshape(_ESC_CAP, 4), jnp.int32)
+    off += 4 * _ESC_CAP
+    val = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 4 * _ESC_CAP])
+        .reshape(_ESC_CAP, 4), jnp.int32)
+    off += 4 * _ESC_CAP
+    flat = ac8.astype(jnp.int32).reshape(-1)
+    flat = flat.at[idx].set(val, mode="drop")
+    plane = jnp.concatenate(
+        [dc[..., None].astype(jnp.int32), flat.reshape(bh, bw, 63)],
+        axis=-1)
+    return plane, off
+
+
+def _unpack_plane(blob, off: int, bh: int, bw: int, kind: str):
+    if kind == "sp":
+        return _unpack_one_sparse(blob, off, bh, bw, 12)
+    if kind == "sq":
+        return _unpack_one_sparse(blob, off, bh, bw, 28)
+    if kind == "i8":
+        return _unpack_one_i8(blob, off, bh, bw)
+    return _unpack_one_n(blob, off, bh, bw, int(kind[1:]))
+
+
+def _unpack_coeff_wire_multi(blob, plane_shapes: tuple, wire: str):
+    """Device half of pack_coeff_wire_best: per-plane rung dispatch (the
+    wire kind string is static, so this unrolls at trace time)."""
+    kinds = wire.split(",")
+    if len(kinds) == 1:
+        kinds = kinds * len(plane_shapes)
     out = []
     off = 0
-    for bh, bw in plane_shapes:
-        n = bh * bw
-        n_ac = n * 63
-        dc = jax.lax.bitcast_convert_type(
-            jax.lax.slice(blob, [off], [off + 2 * n]).reshape(n, 2),
-            jnp.int16).reshape(bh, bw)
-        off += 2 * n
-        g = -(-n_ac // 32)
-        words = jax.lax.bitcast_convert_type(
-            jax.lax.slice(blob, [off],
-                          [off + 4 * bits * g]).reshape(bits * g, 4),
-            jnp.uint32).reshape(g, bits)
-        off += 4 * bits * g
-        cap = _esc_cap4(n_ac)
-        idx = jax.lax.bitcast_convert_type(
-            jax.lax.slice(blob, [off], [off + 4 * cap]).reshape(cap, 4),
-            jnp.int32).reshape(-1)
-        off += 4 * cap
-        val = jax.lax.bitcast_convert_type(
-            jax.lax.slice(blob, [off], [off + 2 * cap]).reshape(cap, 2),
-            jnp.int16).reshape(-1)
-        off += 2 * cap
-        s = jnp.zeros((g, 32), jnp.int32)
-        for j in range(bits):
-            s = s | (((words[:, j:j + 1] >> lanes) & 1) << j) \
-                .astype(jnp.int32)
-        ac = s.reshape(-1)[:n_ac] - half
-        ac = ac.at[idx].set(val.astype(jnp.int32), mode="drop")
-        out.append(jnp.concatenate(
-            [dc[..., None].astype(jnp.int32), ac.reshape(bh, bw, 63)],
-            axis=-1))
+    for (bh, bw), kind in zip(plane_shapes, kinds):
+        plane, off = _unpack_plane(blob, off, bh, bw, kind)
+        out.append(plane)
     return out
+
+
+def _coeff_unpacker(wire: str):
+    return functools.partial(_unpack_coeff_wire_multi, wire=wire)
+
+
+def _unpack_coeff_wire_sparse(blob, plane_shapes: tuple):
+    return _unpack_coeff_wire_multi(blob, plane_shapes, "sp")
+
+
+def _unpack_coeff_wire_n(blob, plane_shapes: tuple, bits: int):
+    return _unpack_coeff_wire_multi(blob, plane_shapes, "i%d" % bits)
 
 
 def _unpack_coeff_wire4(blob, plane_shapes: tuple):
-    return _unpack_coeff_wire_n(blob, plane_shapes, 4)
+    return _unpack_coeff_wire_multi(blob, plane_shapes, "i4")
 
 
 def _unpack_coeff_wire(blob, plane_shapes: tuple):
-    """Device half of pack_coeff_wire: slice + bitcast the blob back into
-    reconstructed int32 coefficient arrays (static section layout)."""
-    out = []
-    off = 0
-    for bh, bw in plane_shapes:
-        n = bh * bw
-        dc = jax.lax.bitcast_convert_type(
-            jax.lax.slice(blob, [off], [off + 2 * n]).reshape(n, 2),
-            jnp.int16).reshape(bh, bw)
-        off += 2 * n
-        ac8 = jax.lax.bitcast_convert_type(
-            jax.lax.slice(blob, [off], [off + 63 * n]),
-            jnp.int8).reshape(bh, bw, 63)
-        off += 63 * n
-        idx = jax.lax.bitcast_convert_type(
-            jax.lax.slice(blob, [off], [off + 4 * _ESC_CAP])
-            .reshape(_ESC_CAP, 4), jnp.int32)
-        off += 4 * _ESC_CAP
-        val = jax.lax.bitcast_convert_type(
-            jax.lax.slice(blob, [off], [off + 4 * _ESC_CAP])
-            .reshape(_ESC_CAP, 4), jnp.int32)
-        off += 4 * _ESC_CAP
-        flat = ac8.astype(jnp.int32).reshape(-1)
-        flat = flat.at[idx].set(val, mode="drop")
-        ac = flat.reshape(bh, bw, 63)
-        out.append(jnp.concatenate(
-            [dc[..., None].astype(jnp.int32), ac], axis=-1))
-    return out
+    return _unpack_coeff_wire_multi(blob, plane_shapes, "i8")
+
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -1100,8 +1281,7 @@ def _fused_decode_batch(blobs, qts, meta_arrays, weights, *,
     qts (K, n_planes, 64) i32, meta_arrays dict of (K, 3) f32, weights
     (K,) f32.  Output packing identical to _fused_decode per image (the
     wire — int8 or 4-bit-sliced — is byte-invisible)."""
-    unpack = (_unpack_coeff_wire if wire == "i8" else
-              functools.partial(_unpack_coeff_wire_n, bits=int(wire[1:])))
+    unpack = _coeff_unpacker(wire)
 
     def one(blob, qt, meta, wgt):
         planes = unpack(blob, plane_shapes)
@@ -1127,8 +1307,7 @@ def _fused_decode_wire(blob, qts, meta_arrays, weight, *,
     """Single-image fused decode on the coalesced coefficient wire blob:
     ONE h2d upload instead of one per plane buffer (the link pays ~40 ms
     fixed latency per transfer), and the 4-bit wire halves the bytes."""
-    unpack = (_unpack_coeff_wire if wire == "i8" else
-              functools.partial(_unpack_coeff_wire_n, bits=int(wire[1:])))
+    unpack = _coeff_unpacker(wire)
     planes = unpack(blob, plane_shapes)
     return _decode_device_core(
         planes[:n_base], [qts[i] for i in range(n_base)],

@@ -688,15 +688,7 @@ class JpegR:
             gm_coeffs, gm_qts, _ = fused_mod.decode_coefficients(
                 p["gm"], p["gm_info"])
             planes = base_coeffs + gm_coeffs
-            blob, kind = None, None
-            for pack, k in ((fused_mod.pack_coeff_wire3, "i3"),
-                            (fused_mod.pack_coeff_wire4, "i4"),
-                            (fused_mod.pack_coeff_wire5, "i5"),
-                            (fused_mod.pack_coeff_wire, "i8")):
-                blob = pack(planes)
-                if blob is not None:
-                    kind = k
-                    break
+            blob, kind = fused_mod.pack_coeff_wire_best(planes)
             if blob is None:
                 continue
             if batch_idx and parsed[batch_idx[0]]["wire"] != kind:
@@ -942,17 +934,10 @@ class JpegR:
             max_display_boost, float(metadata.hdr_capacity_min),
             float(metadata.hdr_capacity_max))
         # coalesced single-blob upload (1 transfer; the link pays ~40 ms
-        # fixed latency each): 3-bit AC wire, then 4-bit, int8, per-plane
+        # fixed latency each), smallest wire that fits first (sparse
+        # presence-mask, then widening bit-slice rungs)
         planes = base_coeffs + gm_coeffs
-        blob, kind = None, None
-        for pack, k in ((fused_mod.pack_coeff_wire3, "i3"),
-                        (fused_mod.pack_coeff_wire4, "i4"),
-                        (fused_mod.pack_coeff_wire5, "i5"),
-                        (fused_mod.pack_coeff_wire, "i8")):
-            blob = pack(planes)
-            if blob is not None:
-                kind = k
-                break
+        blob, kind = fused_mod.pack_coeff_wire_best(planes)
         if blob is not None:
             qts = np.stack([np.asarray(q, np.int32)
                             for q in base_qts + gm_qts])

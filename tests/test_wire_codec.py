@@ -510,3 +510,107 @@ def test_down_wire_sticky_ladder(monkeypatch):
     else:
         assert sticky == 0 and calls == []                   # raw sticks
     fused._DOWN_STICKY.clear()
+
+
+def test_coeff_wire_sparse_roundtrip():
+    """The sparse (presence-mask + compacted-values) coefficient wire is
+    lossless through pack_coeff_wire_sparse -> _unpack_coeff_wire_sparse,
+    including int16 escapes patched into the compacted value array."""
+    rs = np.random.RandomState(9)
+    shapes = [(6, 10), (3, 5)]
+    planes = []
+    for bh, bw in shapes:
+        c = np.zeros((bh, bw, 64), np.int16)
+        c[..., 0] = rs.randint(-500, 500, (bh, bw))
+        # sparse ACs: ~8% nonzero, values spanning int8
+        nz = rs.rand(bh, bw, 63) < 0.08
+        c[..., 1:][nz] = rs.randint(-120, 121, int(nz.sum())).astype(np.int16)
+        c[0, 0, 30] = 900                                 # escapes
+        c[-1, -1, 63] = -1023
+        c[0, 0, 1] = -128                                 # int8 edge, no escape
+        planes.append(c)
+    blob = fused.pack_coeff_wire_sparse(planes)
+    assert blob is not None
+    out = fused._unpack_coeff_wire_sparse(
+        jnp.asarray(np.frombuffer(blob, np.uint8)),
+        tuple(s for s in shapes))
+    for c, o in zip(planes, out):
+        np.testing.assert_array_equal(np.asarray(o), c.astype(np.int32))
+
+
+def test_coeff_wire_sparse_dense_returns_none():
+    """Dense content (nonzeros above the 12% cap) must refuse the sparse
+    wire so the ladder falls through to the bit-slice rungs."""
+    rs = np.random.RandomState(10)
+    c = np.zeros((64, 64, 64), np.int16)
+    c[..., 1:] = rs.randint(1, 5, (64, 64, 63))      # 100% nonzero
+    assert fused.pack_coeff_wire_sparse([c]) is None
+
+
+def test_coeff_wire_ladder_prefers_sparse_on_natural_stats():
+    """On q95-like sparsity the ladder's first fitting rung is the sparse
+    wire, and it is the smallest of all fitting rungs."""
+    rs = np.random.RandomState(11)
+    c = np.zeros((40, 40, 64), np.int16)
+    nz = rs.rand(40, 40, 63) < 0.05
+    c[..., 1:][nz] = rs.randint(-3, 4, int(nz.sum())).astype(np.int16)
+    c[..., 0] = rs.randint(-200, 200, (40, 40))
+    planes = [c]
+    sizes = {}
+    for pack, k in fused.COEFF_WIRE_LADDER:
+        blob = pack(planes)
+        if blob is not None:
+            sizes[k] = len(blob)
+    assert "sp" in sizes
+    assert sizes["sp"] == min(sizes.values())
+    first_fit = next(k for pack, k in fused.COEFF_WIRE_LADDER
+                     if pack(planes) is not None)
+    assert first_fit == "sp"
+
+
+def test_coeff_wire_best_mixed_kinds_roundtrip():
+    """pack_coeff_wire_best lets a dense gain-map plane ride its own rung
+    while sparse base planes stay on the sparse wire; the multi-kind blob
+    is lossless through _unpack_coeff_wire_multi."""
+    rs = np.random.RandomState(12)
+    # the dense plane must overflow the sparse caps for real: the cap
+    # floor is 4096 values, so it needs > 4096 nonzero ACs
+    shapes = [(6, 10), (3, 5), (3, 5), (16, 16)]
+    planes = []
+    for i, (bh, bw) in enumerate(shapes):
+        c = np.zeros((bh, bw, 64), np.int16)
+        c[..., 0] = rs.randint(-500, 500, (bh, bw))
+        if i < 3:                 # sparse base planes
+            nz = rs.rand(bh, bw, 63) < 0.05
+            c[..., 1:][nz] = rs.randint(-3, 4, int(nz.sum())).astype(np.int16)
+        else:                     # dense, wide-valued gain-map plane
+            c[..., 1:] = rs.randint(-150, 151, (bh, bw, 63))
+        planes.append(c)
+    blob, kind = fused.pack_coeff_wire_best(planes)
+    assert blob is not None
+    kinds = kind.split(",")
+    assert len(kinds) == 4 and kinds[0] == "sp" and kinds[3] != "sp"
+    out = fused._unpack_coeff_wire_multi(
+        jnp.asarray(np.frombuffer(blob, np.uint8)),
+        tuple(shapes), kind)
+    for c, o in zip(planes, out):
+        np.testing.assert_array_equal(np.asarray(o), c.astype(np.int32))
+
+
+def test_coeff_wire_best_uniform_kind_collapses():
+    """All planes agreeing on a rung yields the single-kind string, so the
+    uniform compiled programs are reused."""
+    rs = np.random.RandomState(13)
+    planes = []
+    for bh, bw in [(4, 6), (2, 3)]:
+        c = np.zeros((bh, bw, 64), np.int16)
+        c[..., 0] = rs.randint(-100, 100, (bh, bw))
+        nz = rs.rand(bh, bw, 63) < 0.03
+        c[..., 1:][nz] = rs.randint(-2, 3, int(nz.sum())).astype(np.int16)
+        planes.append(c)
+    blob, kind = fused.pack_coeff_wire_best(planes)
+    assert kind == "sp"
+    out = fused._unpack_coeff_wire_multi(
+        jnp.asarray(np.frombuffer(blob, np.uint8)), ((4, 6), (2, 3)), kind)
+    for c, o in zip(planes, out):
+        np.testing.assert_array_equal(np.asarray(o), c.astype(np.int32))
