@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -698,7 +699,13 @@ class JpegR:
                 + tuple(c.shape[:2] for c in gm_coeffs)
             p["n_base"] = len(base_coeffs)
             batch_idx.append(i)
-            blobs.append(np.frombuffer(blob, np.uint8))
+            # Ship each image's wire blob the moment it is packed: the
+            # h2d transfer is dispatched asynchronously, so image i rides
+            # the link while the host Huffman-decodes and packs image
+            # i+1.  The batch program then stacks the already-resident
+            # blobs on device (cheap concat) instead of waiting for one
+            # big serial upload after all host work is done.
+            blobs.append(jax.device_put(np.frombuffer(blob, np.uint8)))
             qts.append(np.stack([np.asarray(q, np.int32)
                                  for q in base_qts + gm_qts]))
             metas.append(apply_ops.metadata_to_arrays(p["metadata"]))
@@ -712,7 +719,7 @@ class JpegR:
             meta_stack = {k: np.stack([m[k] for m in metas])
                           for k in metas[0]}
             packed, _ = fused_mod._fused_decode_batch(
-                jnp.asarray(np.stack(blobs)), jnp.asarray(np.stack(qts)),
+                jnp.stack(blobs), jnp.asarray(np.stack(qts)),
                 meta_stack, jnp.asarray(np.asarray(weights, np.float32)),
                 plane_shapes=p0["shapes"], n_base=p0["n_base"],
                 h=p0["h"], w=p0["w"], sampling_key=p0["key"],
