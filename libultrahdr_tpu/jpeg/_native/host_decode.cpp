@@ -50,17 +50,30 @@ const uint8_t kZigzagToNatural[64] = {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
-// B[n][k] = c(k)/2 * cos((2n+1) k pi / 16)
-void build_idct_basis(float* B) {
-  for (int n = 0; n < 8; n++)
-    for (int k = 0; k < 8; k++) {
-      double ck = k == 0 ? std::sqrt(0.125) : 0.5;
-      B[n * 8 + k] = (float)(ck * std::cos((2 * n + 1) * k * M_PI / 16.0));
-    }
-}
+// The 1-D 'islow' pass as an exact integer matrix.  libjpeg's
+// jpeg_idct_islow (the decoder every libultrahdr build links) is two
+// passes of one Loeffler-Ligtenberg-Moshovitz butterfly in CONST_BITS=13
+// fixed point; each pass is exactly linear in its inputs with a single
+// DESCALE rounding at the end, so the whole pass collapses to
+//     out = (M @ x + 2^(s-1)) >> s
+// with s=11 (column pass, PASS1_BITS=2 left in) and s=18 (+128 recenter,
+// clamp) for the row pass.  M below is derived by pushing unit vectors
+// through the butterfly (tools/derive_islow.py); matching it makes the
+// host engine's YCbCr planes BIT-IDENTICAL to libjpeg's, which is what
+// the reference's decode contract actually produces
+// (/root/reference/lib/src/jpegdecoderhelper.cpp:206-351).
+static const int32_t kIslowM[8][8] = {
+    {8192, 11363, 10703, 9633, 8192, 6437, 4433, 2260},
+    {8192, 9633, 4433, -2259, -8192, -11362, -10704, -6436},
+    {8192, 6437, -4433, -11362, -8192, 2261, 10704, 9633},
+    {8192, 2260, -10703, -6436, 8192, 9633, -4433, -11363},
+    {8192, -2260, -10703, 6436, 8192, -9633, -4433, 11363},
+    {8192, -6437, -4433, 11362, -8192, -2261, 10704, -9633},
+    {8192, -9633, 4433, 2259, -8192, 11362, -10704, 6436},
+    {8192, -11363, 10703, -9633, 8192, -6437, 4433, -2260},
+};
 
-inline uint8_t clamp_u8(float x) {
-  int v = (int)lrintf(x);
+inline uint8_t clamp_u8i(int32_t v) {
   return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
 }
 
@@ -158,21 +171,25 @@ extern "C" void uhdr_ycbcr_to_rgb_planar(const uint8_t* y, int64_t y_stride,
   }
 }
 
-// Zigzag int16 coefficient blocks -> u8 plane.
-// coeffs: (bh, bw, 64); out: (bh*8, out_stride) buffer.
+// Zigzag int16 coefficient blocks -> u8 plane, bit-identical to libjpeg's
+// jpeg_idct_islow (see kIslowM above).  Exactness argument: every product
+// |M|<2^15 x |dequant|<2^31 < 2^46 and each 8-term sum < 2^49 is an exact
+// integer in f64 (< 2^53), so the AVX2 double FMAs below compute the same
+// integers libjpeg's int32 arithmetic does; DESCALE is then done in real
+// int32.  coeffs: (bh, bw, 64); out: (bh*8, out_stride) buffer.
 extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
                                 const int32_t* qt_natural, uint8_t* out,
                                 int64_t out_stride) {
-  float B[64];
-  build_idct_basis(B);
-  float Bt[64];  // Bt[v][x] = B[x][v] (columns of B as rows)
-  for (int v = 0; v < 8; v++)
-    for (int x = 0; x < 8; x++) Bt[v * 8 + x] = B[x * 8 + v];
-  float dq[64];  // dequant multipliers in zigzag load order
+  int32_t dq[64];  // dequant multipliers in zigzag load order
   for (int zz = 0; zz < 64; zz++)
-    dq[zz] = (float)qt_natural[kZigzagToNatural[zz]];
+    dq[zz] = qt_natural[kZigzagToNatural[zz]];
+#if defined(__AVX2__) && defined(__FMA__)
+  double Md[64];  // M as doubles for the f64 FMA form
+  for (int i = 0; i < 64; i++) Md[i] = (double)kIslowM[i / 8][i % 8];
+#endif
 
-  float F[64], T[64], S[64];
+  double D[64];
+  int32_t T[64];
   for (int64_t by = 0; by < bh; by++) {
     for (int64_t bx = 0; bx < bw; bx++) {
       const int16_t* src = coeffs + (by * bw + bx) * 64;
@@ -182,8 +199,11 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
       // bound the transform to the frequencies actually present.
       int last = 63;
       while (last > 0 && src[last] == 0) last--;
-      if (last == 0) {  // DC-only: S[y][x] = dc*dq0/8 everywhere
-        uint8_t v8 = clamp_u8((float)src[0] * dq[0] * 0.125f + 128.0f);
+      if (last == 0) {
+        // DC-only: both passes collapse to DESCALE(dc*q, 3) + 128 (pass1
+        // shortcut dcval<<2, flat row through pass2).
+        uint8_t v8 =
+            clamp_u8i((((int32_t)src[0] * dq[0] + 4) >> 3) + 128);
         for (int r = 0; r < 8; r++) memset(dst + r * out_stride, v8, 8);
         continue;
       }
@@ -195,78 +215,76 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
         if (u > umax) umax = u;
         if (v > vmax) vmax = v;
       }
-      for (int i = 0; i < 64; i++) F[i] = 0.0f;
+      for (int i = 0; i < 64; i++) D[i] = 0.0;
       for (int zz = 0; zz <= last; zz++)
-        F[kZigzagToNatural[zz]] = (float)src[zz] * dq[zz];
+        D[kZigzagToNatural[zz]] =
+            (double)((int32_t)src[zz] * dq[zz]);
 #if defined(__AVX2__) && defined(__FMA__)
-      // row-vector form: T_row[y] = sum_u B[y][u] * F_row[u];
-      // S_row[y] = sum_v T[y][v] * Brow[x over v]... second pass uses
-      // broadcastss from the stored T.  u/v loops bounded by the block's
-      // frequency support (grainy content still clusters low).
       {
-        __m256 Frow[8];
-        for (int u = 0; u <= umax; u++) Frow[u] = _mm256_loadu_ps(F + u * 8);
-        for (int y = 0; y < 8; y++) {
-          // two accumulators hide the fma latency chain
-          __m256 acc = _mm256_mul_ps(_mm256_set1_ps(B[y * 8]), Frow[0]);
-          __m256 acc2 = _mm256_setzero_ps();
-          int u = 1;
-          for (; u + 1 <= umax; u += 2) {
-            acc = _mm256_fmadd_ps(_mm256_set1_ps(B[y * 8 + u]), Frow[u], acc);
-            acc2 = _mm256_fmadd_ps(_mm256_set1_ps(B[y * 8 + u + 1]),
-                                   Frow[u + 1], acc2);
+        // pass 1 (columns): T[n][v] = (sum_u M[n][u] * D[u][v] + 2^10)>>11
+        const __m128i r1 = _mm_set1_epi32(1 << 10);
+        for (int n = 0; n < 8; n++) {
+          __m256d lo = _mm256_mul_pd(_mm256_set1_pd(Md[n * 8]),
+                                     _mm256_loadu_pd(D));
+          __m256d hi = _mm256_mul_pd(_mm256_set1_pd(Md[n * 8]),
+                                     _mm256_loadu_pd(D + 4));
+          for (int u = 1; u <= umax; u++) {
+            __m256d m = _mm256_set1_pd(Md[n * 8 + u]);
+            lo = _mm256_fmadd_pd(m, _mm256_loadu_pd(D + u * 8), lo);
+            hi = _mm256_fmadd_pd(m, _mm256_loadu_pd(D + u * 8 + 4), hi);
           }
-          if (u <= umax)
-            acc = _mm256_fmadd_ps(_mm256_set1_ps(B[y * 8 + u]), Frow[u], acc);
-          _mm256_storeu_ps(T + y * 8, _mm256_add_ps(acc, acc2));
+          __m128i ilo = _mm256_cvtpd_epi32(lo);   // exact ints, RNE = exact
+          __m128i ihi = _mm256_cvtpd_epi32(hi);
+          ilo = _mm_srai_epi32(_mm_add_epi32(ilo, r1), 11);
+          ihi = _mm_srai_epi32(_mm_add_epi32(ihi, r1), 11);
+          _mm_storeu_si128((__m128i*)(T + n * 8), ilo);
+          _mm_storeu_si128((__m128i*)(T + n * 8 + 4), ihi);
         }
-        const __m256 c128 = _mm256_set1_ps(128.0f);
-        const __m256i zero8 = _mm256_setzero_si256(),
-                      max8 = _mm256_set1_epi32(255);
+        // pass 2 (rows): out[y][x] = ((sum_v M[x][v]*T[y][v] + 2^17)>>18)+128
+        const __m128i r2 = _mm_set1_epi32(1 << 17);
+        const __m128i c128 = _mm_set1_epi32(128);
+        const __m128i zero4 = _mm_setzero_si128(), max4 = _mm_set1_epi32(255);
         for (int y = 0; y < 8; y++) {
-          __m256 acc = _mm256_mul_ps(_mm256_set1_ps(T[y * 8]),
-                                     _mm256_loadu_ps(Bt));       // Bcol v=0
-          __m256 acc2 = _mm256_setzero_ps();
-          int v = 1;
-          for (; v + 1 <= vmax; v += 2) {
-            acc = _mm256_fmadd_ps(_mm256_set1_ps(T[y * 8 + v]),
-                                  _mm256_loadu_ps(Bt + v * 8), acc);
-            acc2 = _mm256_fmadd_ps(_mm256_set1_ps(T[y * 8 + v + 1]),
-                                   _mm256_loadu_ps(Bt + (v + 1) * 8), acc2);
+          // vectorize over x: acc[x] += T[y][v] * M[x][v] -> needs M^T rows
+          __m256d lo = _mm256_setzero_pd(), hi = _mm256_setzero_pd();
+          for (int v = 0; v <= vmax; v++) {
+            __m256d t = _mm256_set1_pd((double)T[y * 8 + v]);
+            // Mt[v][x] = Md[x*8+v]: gather as a strided load done scalar —
+            // build once per v into a stack row
+            double mt[8];
+            for (int x = 0; x < 8; x++) mt[x] = Md[x * 8 + v];
+            lo = _mm256_fmadd_pd(t, _mm256_loadu_pd(mt), lo);
+            hi = _mm256_fmadd_pd(t, _mm256_loadu_pd(mt + 4), hi);
           }
-          if (v <= vmax)
-            acc = _mm256_fmadd_ps(_mm256_set1_ps(T[y * 8 + v]),
-                                  _mm256_loadu_ps(Bt + v * 8), acc);
-          acc = _mm256_add_ps(acc, acc2);
-          __m256i i32 = _mm256_cvtps_epi32(_mm256_add_ps(acc, c128));
-          i32 = _mm256_min_epi32(_mm256_max_epi32(i32, zero8), max8);
-          // 8 x i32 -> 8 x u8
-          __m128i lo = _mm256_castsi256_si128(i32);
-          __m128i hi = _mm256_extracti128_si256(i32, 1);
-          __m128i p16 = _mm_packus_epi32(lo, hi);
+          __m128i ilo = _mm256_cvtpd_epi32(lo);
+          __m128i ihi = _mm256_cvtpd_epi32(hi);
+          ilo = _mm_add_epi32(_mm_srai_epi32(_mm_add_epi32(ilo, r2), 18),
+                              c128);
+          ihi = _mm_add_epi32(_mm_srai_epi32(_mm_add_epi32(ihi, r2), 18),
+                              c128);
+          ilo = _mm_min_epi32(_mm_max_epi32(ilo, zero4), max4);
+          ihi = _mm_min_epi32(_mm_max_epi32(ihi, zero4), max4);
+          __m128i p16 = _mm_packus_epi32(ilo, ihi);
           __m128i p8 = _mm_packus_epi16(p16, p16);
           _mm_storel_epi64((__m128i*)(dst + y * out_stride), p8);
         }
       }
 #else
-      // T = B . F  (rows: spatial y, cols: freq v), u/v loops bounded by
-      // the block's frequency support
-      for (int y = 0; y < 8; y++)
-        for (int v = 0; v <= vmax; v++) {
-          float acc = 0.0f;
-          for (int u = 0; u <= umax; u++) acc += B[y * 8 + u] * F[u * 8 + v];
-          T[y * 8 + v] = acc;
+      for (int n = 0; n < 8; n++)
+        for (int v = 0; v < 8; v++) {
+          int64_t acc = 0;
+          for (int u = 0; u <= umax; u++)
+            acc += (int64_t)kIslowM[n][u] * (int64_t)D[u * 8 + v];
+          T[n * 8 + v] = (int32_t)(acc + (1 << 10)) >> 11;
         }
-      // S = T . B^T
       for (int y = 0; y < 8; y++)
         for (int x = 0; x < 8; x++) {
-          float acc = 0.0f;
-          for (int v = 0; v <= vmax; v++) acc += T[y * 8 + v] * B[x * 8 + v];
-          S[y * 8 + x] = acc;
+          int64_t acc = 0;
+          for (int v = 0; v <= vmax; v++)
+            acc += (int64_t)kIslowM[x][v] * (int64_t)T[y * 8 + v];
+          dst[y * out_stride + x] =
+              clamp_u8i(((int32_t)(acc + (1 << 17)) >> 18) + 128);
         }
-      for (int r = 0; r < 8; r++)
-        for (int c = 0; c < 8; c++)
-          dst[r * out_stride + c] = clamp_u8(S[r * 8 + c] + 128.0f);
 #endif
     }
   }

@@ -67,10 +67,85 @@ def fdct8x8(blocks):
 
 
 def idct8x8(coeffs):
-    """Inverse 2-D DCT on (..., 8, 8): D^T @ X @ D."""
+    """Inverse 2-D DCT on (..., 8, 8): D^T @ X @ D (float reference form)."""
     d = jnp.asarray(dct_matrix())
     y = jnp.einsum("ji,...jk->...ik", d, coeffs, precision=_HI)
     return jnp.einsum("...ik,kl->...il", y, d, precision=_HI)
+
+
+# Loeffler-Ligtenberg-Moshovitz fixed-point constants at CONST_BITS=13 —
+# the scaled 13-bit roundings every libjpeg islow build uses, i.e. the
+# arithmetic behind the reference's decoded base image
+# (/root/reference/lib/src/jpegdecoderhelper.cpp:206-351 links libjpeg,
+# whose jpeg_idct_islow is this butterfly).  round(f * 8192):
+_K0_298631336 = 2446
+_K0_390180644 = 3196
+_K0_541196100 = 4433
+_K0_765366865 = 6270
+_K0_899976223 = 7373
+_K1_175875602 = 9633
+_K1_501321110 = 12299
+_K1_847759065 = 15137
+_K1_961570560 = 16069
+_K2_053119869 = 16819
+_K2_562915447 = 20995
+_K3_072711026 = 25172
+
+
+def _islow_butterfly(s):
+    """One 1-D islow pass over 8 parallel int32 arrays, WITHOUT the final
+    descale: returns the 8 outputs scaled by 2^13 relative to the inputs.
+    Same int32 operation sequence as libjpeg, so results (including any
+    wrap-around on adversarial streams) match it exactly."""
+    s0, s1, s2, s3, s4, s5, s6, s7 = s
+    # even part
+    z1 = (s2 + s6) * _K0_541196100
+    e2 = z1 - s6 * _K1_847759065
+    e3 = z1 + s2 * _K0_765366865
+    e0 = (s0 + s4) * 8192
+    e1 = (s0 - s4) * 8192
+    t10, t13 = e0 + e3, e0 - e3
+    t11, t12 = e1 + e2, e1 - e2
+    # odd part
+    t0, t1, t2, t3 = s7, s5, s3, s1
+    z1, z2 = t0 + t3, t1 + t2
+    z3, z4 = t0 + t2, t1 + t3
+    z5 = (z3 + z4) * _K1_175875602
+    t0 = t0 * _K0_298631336
+    t1 = t1 * _K2_053119869
+    t2 = t2 * _K3_072711026
+    t3 = t3 * _K1_501321110
+    z1 = z1 * -_K0_899976223
+    z2 = z2 * -_K2_562915447
+    z3 = z3 * -_K1_961570560 + z5
+    z4 = z4 * -_K0_390180644 + z5
+    t0 = t0 + z1 + z3
+    t1 = t1 + z2 + z4
+    t2 = t2 + z2 + z3
+    t3 = t3 + z1 + z4
+    return (t10 + t3, t11 + t2, t12 + t1, t13 + t0,
+            t13 - t0, t12 - t1, t11 - t2, t10 - t3)
+
+
+def _descale(x, n):
+    """libjpeg DESCALE: round-half-up arithmetic shift."""
+    return jax.lax.shift_right_arithmetic(x + (1 << (n - 1)), n)
+
+
+def idct8x8_islow(deq):
+    """Bit-exact libjpeg jpeg_idct_islow on int32 dequantized blocks
+    (..., 8, 8) -> int32 spatial samples in [-inf, inf] (callers add 128
+    and clamp).  Two butterfly passes entirely in int32 elementwise ops —
+    VPU work XLA fuses into the surrounding program; the float MXU form
+    (idct8x8) stays for paths that don't need bitwise libjpeg parity."""
+    # pass 1: columns (axis -2), PASS1_BITS=2 kept in: descale 13-2=11
+    cols = [deq[..., u, :] for u in range(8)]
+    t = _islow_butterfly(cols)
+    t = jnp.stack([_descale(x, 11) for x in t], axis=-2)
+    # pass 2: rows (axis -1), descale 13+2+3=18
+    rows = [t[..., :, v] for v in range(8)]
+    o = _islow_butterfly(rows)
+    return jnp.stack([_descale(x, 18) for x in o], axis=-1)
 
 
 def forward_plane(plane_u8, qtable_natural):
@@ -87,12 +162,15 @@ def forward_plane(plane_u8, qtable_natural):
 
 
 def inverse_plane(zz_coeffs, qtable_natural, out_h: int, out_w: int):
-    """(bh, bw, 64) int16 zigzag coeffs -> uint8 (out_h, out_w) plane."""
+    """(bh, bw, 64) int16 zigzag coeffs -> uint8 (out_h, out_w) plane.
+
+    Bit-identical to libjpeg's islow decode (idct8x8_islow), so the XLA
+    general/device engines reproduce the native host engine and the
+    reference binary exactly at the YCbCr-plane level."""
     nat = jnp.take(zz_coeffs, jnp.asarray(INV_ZIGZAG), axis=-1)
-    deq = nat.astype(jnp.float32) * jnp.asarray(
-        qtable_natural, jnp.float32).reshape(64)
+    deq = nat.astype(jnp.int32) * jnp.asarray(
+        qtable_natural, jnp.int32).reshape(64)
     blocks = deq.reshape(*deq.shape[:-1], 8, 8)
-    spatial = idct8x8(blocks)
-    plane = unblockify(spatial) + 128.0
-    plane = jnp.clip(jnp.round(plane), 0.0, 255.0).astype(jnp.uint8)
+    spatial = idct8x8_islow(blocks) + 128
+    plane = unblockify(jnp.clip(spatial, 0, 255).astype(jnp.uint8))
     return plane[:out_h, :out_w]

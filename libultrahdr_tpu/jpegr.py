@@ -450,11 +450,17 @@ class JpegR:
                                exif: bytes | None) -> GainMapMetadata:
         """parseGainMapMetadata (jpegr.cpp:1347-1381): ISO preferred."""
         if iso:
-            ns_len = len(b"urn:iso:std:iso:ts:21496:-1\x00")
-            if len(iso) < ns_len:
+            ns = b"urn:iso:std:iso:ts:21496:-1\x00"
+            # The APP2 blob must actually start with the ISO namespace —
+            # parse_jpeg only stores prefixed payloads, but this is public
+            # API and may be handed an arbitrary buffer.
+            if len(iso) < len(ns):
                 raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
                                 "iso block too small")
-            frac = iso21496.decode_gainmap_metadata(iso[ns_len:])
+            if not iso.startswith(ns):
+                raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                "iso block namespace mismatch")
+            frac = iso21496.decode_gainmap_metadata(iso[len(ns):])
             return iso21496.fraction_to_float(frac)
         if xmp_blob:
             return xmp.parse_xmp_metadata(xmp_blob, exif)
@@ -728,6 +734,10 @@ class JpegR:
                 use_base_cg=p0["use_base_cg"], wire=p0["wire"])
             for k, i in enumerate(batch_idx):
                 results[i] = (packed[k], parsed[i]["metadata"])
+        # A 0/1-member batch never dispatches the batch program; drop the
+        # eagerly staged device blobs so their allocations are released
+        # before the per-image fallback uploads the same data again.
+        blobs.clear()
 
         for i, data in enumerate(streams):
             if results[i] is None:

@@ -205,9 +205,22 @@ _OOTF_GAMMA = 1.2  # BT.2100-2 Table 5 Note 5f for a 1000-nit display
 
 
 def hlg_ootf(rgb, lum_coeffs):
-    """HLG OOTF: scene light -> display light (gainmapmath.cpp:290-294)."""
+    """HLG reference OOTF (gainmapmath.cpp:288-291).
+
+    NB: the codec pipelines never use this — getOotfFn binds the
+    per-channel approximation (hlg_ootf_approx below); kept for parity
+    with the reference's exported math surface."""
     y = luminance(rgb, lum_coeffs)
     return rgb * jnp.power(jnp.maximum(y, 1e-37), _OOTF_GAMMA - 1.0)
+
+
+def hlg_ootf_approx(rgb):
+    """hlgOotfApprox (gainmapmath.cpp:293-295): per-channel pow(1.2).
+
+    This is what getOotfFn(UHDR_CT_HLG) actually returns
+    (gainmapmath.cpp:1191-1192), i.e. what toneMap and generateGainMap
+    apply to HLG scene light."""
+    return jnp.power(jnp.maximum(rgb, 0.0), _OOTF_GAMMA)
 
 
 def hlg_inverse_ootf(rgb, lum_coeffs):
@@ -256,11 +269,15 @@ def inv_oetf(e_gamma, ct):
 
 
 def ootf(rgb, ct, lum_coeffs):
-    """getOotfFn (gainmapmath.cpp:1205-1218): HLG applies the reference OOTF,
-    others are identity."""
+    """getOotfFn (gainmapmath.cpp:1187-1201): HLG applies the per-channel
+    OOTF approximation (hlgOotfApprox), others are identity.  lum_coeffs is
+    accepted for signature parity with the reference's SceneToDisplay
+    LuminanceFn but unused, exactly like hlgOotfApprox's [[maybe_unused]]
+    luminance argument."""
     from ..types import ColorTransfer
+    del lum_coeffs
     if ColorTransfer(ct) == ColorTransfer.HLG:
-        return hlg_ootf(rgb, lum_coeffs)
+        return hlg_ootf_approx(rgb)
     return rgb
 
 
