@@ -79,6 +79,24 @@ inline uint8_t clamp_u8i(int32_t v) {
 
 }  // namespace
 
+// libjpeg jdcolor.c ycc_rgb_convert fixed point, SCALEBITS=16: the exact
+// integers behind every libjpeg(-turbo) RGB decode, so the native engine's
+// gain-map / base RGB bytes are identical to the reference's
+// (/root/reference/lib/src/jpegdecoderhelper.cpp:353-375).
+struct YccTabs {
+  int32_t cr_r[256], cb_b[256], cr_g[256], cb_g[256];
+  YccTabs() {
+    for (int i = 0; i < 256; i++) {
+      int32_t x = i - 128;
+      cr_r[i] = (int32_t)((91881LL * x + 32768) >> 16);   // FIX(1.40200)
+      cb_b[i] = (int32_t)((116130LL * x + 32768) >> 16);  // FIX(1.77200)
+      cr_g[i] = -46802 * x;                               // -FIX(0.71414)
+      cb_g[i] = -22554 * x + 32768;                       // -FIX(0.34414)
+    }
+  }
+};
+static const YccTabs kYcc;
+
 // Full-range Rec.601 YCbCr planes -> interleaved RGB888 (the RGB-coded
 // multichannel gain map's color decode; JCS_RGB path of
 // /root/reference/lib/src/jpegdecoderhelper.cpp:353-375 for the map).
@@ -93,14 +111,10 @@ extern "C" void uhdr_ycbcr_to_rgb888(const uint8_t* y, int64_t y_stride,
     const uint8_t* rr = cr + r * c_stride;
     uint8_t* o = out + r * w * 3;
     for (int64_t x = 0; x < w; x++) {
-      // double intermediates, round-half-even: within ±1 of any float32
-      // ordering of the same formula (ties resolved at full precision)
-      double yy = (double)yr[x];
-      double u = (double)br[x] - 128.0;
-      double v = (double)rr[x] - 128.0;
-      int pr = (int)lrint(yy + 1.402 * v);
-      int pg = (int)lrint(yy - 0.344136286 * u - 0.714136286 * v);
-      int pb = (int)lrint(yy + 1.772 * u);
+      int32_t yy = yr[x];
+      int pr = yy + kYcc.cr_r[rr[x]];
+      int pg = yy + ((kYcc.cb_g[br[x]] + kYcc.cr_g[rr[x]]) >> 16);
+      int pb = yy + kYcc.cb_b[br[x]];
       o[x * 3 + 0] = (uint8_t)(pr < 0 ? 0 : (pr > 255 ? 255 : pr));
       o[x * 3 + 1] = (uint8_t)(pg < 0 ? 0 : (pg > 255 ? 255 : pg));
       o[x * 3 + 2] = (uint8_t)(pb < 0 ? 0 : (pb > 255 ? 255 : pb));
@@ -110,9 +124,9 @@ extern "C" void uhdr_ycbcr_to_rgb888(const uint8_t* y, int64_t y_stride,
 
 // Planar variant: r/g/b written as three (h, w) planes (the host decode
 // engine keeps the RGB-coded gain map planar so the apply stage gathers
-// straight from u8 rows with no interleave round trip).  float32 math
-// (AVX-512 16-wide with scalar tail), RNE; within 1 code of the double
-// formulation at ties.
+// straight from u8 rows with no interleave round trip).  Same jdcolor
+// fixed point as above; AVX-512 does the table math inline (mullo/srai)
+// 16-wide with a scalar tail — identical integers either way.
 extern "C" void uhdr_ycbcr_to_rgb_planar(const uint8_t* y, int64_t y_stride,
                                          const uint8_t* cb, const uint8_t* cr,
                                          int64_t c_stride, int64_t w,
@@ -132,38 +146,50 @@ extern "C" void uhdr_ycbcr_to_rgb_planar(const uint8_t* y, int64_t y_stride,
     uint8_t* brow_ = bo + r * w;
 #if defined(__AVX512F__) && defined(__AVX512BW__)
     {
-      const __m512 c128 = _mm512_set1_ps(128.0f);
-      const __m512 crv = _mm512_set1_ps(1.402f),
-                   guv = _mm512_set1_ps(-0.344136286f),
-                   gvv = _mm512_set1_ps(-0.714136286f),
-                   cbv = _mm512_set1_ps(1.772f);
+      const __m512i c128 = _mm512_set1_epi32(128);
+      const __m512i kCrR = _mm512_set1_epi32(91881),
+                    kCbB = _mm512_set1_epi32(116130),
+                    kCrG = _mm512_set1_epi32(-46802),
+                    kCbG = _mm512_set1_epi32(-22554);
+      const __m512i half = _mm512_set1_epi32(32768);
       const __m512i z = _mm512_setzero_si512(),
                     m255 = _mm512_set1_epi32(255);
-      auto st = [&](uint8_t* dst, int64_t x, __m512 v) {
-        __m512i i = _mm512_cvtps_epi32(v);  // RNE
+      auto st = [&](uint8_t* dst, int64_t x, __m512i i) {
         i = _mm512_min_epi32(_mm512_max_epi32(i, z), m255);
         _mm_storeu_si128((__m128i*)(dst + x), _mm512_cvtepi32_epi8(i));
       };
       for (int64_t x = 0; x < wsimd; x += 16) {
-        __m512 yy = _mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
-            _mm_loadu_si128((const __m128i*)(yr + x))));
-        __m512 u = _mm512_sub_ps(_mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
-            _mm_loadu_si128((const __m128i*)(br + x)))), c128);
-        __m512 v = _mm512_sub_ps(_mm512_cvtepi32_ps(_mm512_cvtepu8_epi32(
-            _mm_loadu_si128((const __m128i*)(rr + x)))), c128);
-        st(orow, x, _mm512_fmadd_ps(crv, v, yy));
-        st(grow_, x, _mm512_fmadd_ps(guv, u, _mm512_fmadd_ps(gvv, v, yy)));
-        st(brow_, x, _mm512_fmadd_ps(cbv, u, yy));
+        __m512i yy = _mm512_cvtepu8_epi32(
+            _mm_loadu_si128((const __m128i*)(yr + x)));
+        __m512i u = _mm512_sub_epi32(_mm512_cvtepu8_epi32(_mm_loadu_si128(
+                                         (const __m128i*)(br + x))),
+                                     c128);
+        __m512i v = _mm512_sub_epi32(_mm512_cvtepu8_epi32(_mm_loadu_si128(
+                                         (const __m128i*)(rr + x))),
+                                     c128);
+        __m512i pr = _mm512_add_epi32(
+            yy, _mm512_srai_epi32(
+                    _mm512_add_epi32(_mm512_mullo_epi32(kCrR, v), half), 16));
+        __m512i pg = _mm512_add_epi32(
+            yy, _mm512_srai_epi32(
+                    _mm512_add_epi32(
+                        _mm512_add_epi32(_mm512_mullo_epi32(kCbG, u), half),
+                        _mm512_mullo_epi32(kCrG, v)),
+                    16));
+        __m512i pb = _mm512_add_epi32(
+            yy, _mm512_srai_epi32(
+                    _mm512_add_epi32(_mm512_mullo_epi32(kCbB, u), half), 16));
+        st(orow, x, pr);
+        st(grow_, x, pg);
+        st(brow_, x, pb);
       }
     }
 #endif
     for (int64_t x = wsimd; x < w; x++) {
-      float yy = (float)yr[x];
-      float u = (float)br[x] - 128.0f;
-      float v = (float)rr[x] - 128.0f;
-      int pr = (int)lrintf(yy + 1.402f * v);
-      int pg = (int)lrintf(yy - 0.344136286f * u - 0.714136286f * v);
-      int pb = (int)lrintf(yy + 1.772f * u);
+      int32_t yy = yr[x];
+      int pr = yy + kYcc.cr_r[rr[x]];
+      int pg = yy + ((kYcc.cb_g[br[x]] + kYcc.cr_g[rr[x]]) >> 16);
+      int pb = yy + kYcc.cb_b[br[x]];
       orow[x] = (uint8_t)(pr < 0 ? 0 : (pr > 255 ? 255 : pr));
       grow_[x] = (uint8_t)(pg < 0 ? 0 : (pg > 255 ? 255 : pg));
       brow_[x] = (uint8_t)(pb < 0 ? 0 : (pb > 255 ? 255 : pb));

@@ -331,87 +331,125 @@ def decode_to_planes(data: bytes, info: JpegInfo | None = None,
     return planes, fmt
 
 
-def _ycc_to_rgb_np(y, cb, cr, fmt_key: str, h: int, w: int):
-    """Host (numpy) mirror of _ycc_to_rgb: libjpeg fancy triangular chroma
-    upsample + full-range Rec.601 YCbCr->RGB."""
-    yf = y.astype(np.float32)
-    cbf = cb.astype(np.float32)
-    crf = cr.astype(np.float32)
+# libjpeg jdcolor.c ycc_rgb_convert fixed-point tables, SCALEBITS=16,
+# FIX(x) = round(x * 65536): the exact integers behind every libjpeg(-turbo)
+# RGB decode, i.e. the reference's SRGB/base output and its multichannel
+# gain-map decode (/root/reference/lib/src/jpegdecoderhelper.cpp:353-375).
+_JD_IDX = np.arange(256, dtype=np.int64) - 128
+YCC_CR_R = ((91881 * _JD_IDX + 32768) >> 16).astype(np.int32)   # FIX(1.40200)
+YCC_CB_B = ((116130 * _JD_IDX + 32768) >> 16).astype(np.int32)  # FIX(1.77200)
+YCC_CR_G = (-46802 * _JD_IDX).astype(np.int32)                  # -FIX(0.71414)
+YCC_CB_G = (-22554 * _JD_IDX + 32768).astype(np.int32)          # -FIX(0.34414)
+del _JD_IDX
 
-    def up_h(c):
+
+def _ycc_to_rgb_np(y, cb, cr, fmt_key: str, h: int, w: int):
+    """Bit-exact libjpeg RGB decode on the host: fancy (triangular) chroma
+    upsample (jdsample.c) + fixed-point YCbCr->RGB (jdcolor.c tables above).
+
+    Upsample selection mirrors jinit_upsampler: h2v2/h2v1 fancy for
+    420/422, libjpeg-turbo's h1v2 fancy for 440, integer replication
+    (int_upsample) for 411/410.  The first/last row+column special cases
+    in the C code equal the general formula under edge replication
+    ((4c+bias)>>2 == c for bias<4), so the vectorized form below is exact
+    everywhere including borders."""
+    yi = y[:h, :w].astype(np.int32)
+    cb32 = cb.astype(np.int32)
+    cr32 = cr.astype(np.int32)
+
+    def up_h_fancy(c, be, bo, sh):
+        # out[2i] = (3c[i] + c[i-1] + be) >> sh; out[2i+1] uses c[i+1], bo
         left = np.concatenate([c[:, :1], c[:, :-1]], axis=1)
         right = np.concatenate([c[:, 1:], c[:, -1:]], axis=1)
-        a = 0.75 * c + 0.25 * left
-        b = 0.75 * c + 0.25 * right
-        return np.stack([a, b], axis=-1).reshape(c.shape[0], -1)
+        e = (3 * c + left + be) >> sh
+        o = (3 * c + right + bo) >> sh
+        return np.stack([e, o], axis=-1).reshape(c.shape[0], -1)
 
-    def up_v(c):
+    def up_v_sums(c):
+        # vertical stage of h2v2 fancy: colsum = 3*nearer + next-nearest
         upr = np.concatenate([c[:1], c[:-1]], axis=0)
         dnr = np.concatenate([c[1:], c[-1:]], axis=0)
-        a = 0.75 * c + 0.25 * upr
-        b = 0.75 * c + 0.25 * dnr
-        return np.stack([a, b], axis=1).reshape(-1, c.shape[1])
+        return np.stack([3 * c + upr, 3 * c + dnr],
+                        axis=1).reshape(-1, c.shape[1])
 
-    if fmt_key in ("420", "410"):
-        cbf, crf = up_v(cbf), up_v(crf)
-    if fmt_key == "440":
-        cbf, crf = up_v(cbf), up_v(crf)
-    if fmt_key in ("420", "422"):
-        cbf, crf = up_h(cbf), up_h(crf)
-    if fmt_key in ("411", "410"):
-        cbf, crf = up_h(up_h(cbf)), up_h(up_h(crf))
-    cbf = cbf[:h, :w] - 128.0
-    crf = crf[:h, :w] - 128.0
-    yf = yf[:h, :w]
-    r = yf + 1.402 * crf
-    g = yf - 0.344136286 * cbf - 0.714136286 * crf
-    b = yf + 1.772 * cbf
-    rgb = np.stack([r, g, b])
-    return np.clip(np.round(rgb), 0.0, 255.0).astype(np.uint8)
+    def up_v_fancy(c):
+        # libjpeg-turbo h1v2_fancy_upsample (bias 1 above / 2 below)
+        upr = np.concatenate([c[:1], c[:-1]], axis=0)
+        dnr = np.concatenate([c[1:], c[-1:]], axis=0)
+        return np.stack([(3 * c + upr + 1) >> 2, (3 * c + dnr + 2) >> 2],
+                        axis=1).reshape(-1, c.shape[1])
+
+    def up(c):
+        if fmt_key == "420":
+            return up_h_fancy(up_v_sums(c), 8, 7, 4)
+        if fmt_key == "422":
+            return up_h_fancy(c, 1, 2, 2)
+        if fmt_key == "440":
+            return up_v_fancy(c)
+        if fmt_key == "411":
+            return np.repeat(c, 4, axis=1)
+        if fmt_key == "410":
+            return np.repeat(np.repeat(c, 2, axis=0), 4, axis=1)
+        return c  # 444
+
+    cbu = up(cb32)[:h, :w]
+    cru = up(cr32)[:h, :w]
+    r = yi + YCC_CR_R[cru]
+    g = yi + ((YCC_CB_G[cbu] + YCC_CR_G[cru]) >> 16)
+    b = yi + YCC_CB_B[cbu]
+    return np.clip(np.stack([r, g, b]), 0, 255).astype(np.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("fmt_key", "h", "w"))
 def _ycc_to_rgb(y, cb, cr, fmt_key: str, h: int, w: int):
-    """Chroma upsample (libjpeg h2v1/h2v2 fancy triangular filter) +
-    full-range Rec.601 YCbCr->RGB (jdcolor.c constants)."""
-    yf = y.astype(jnp.float32)
-    cbf = cb.astype(jnp.float32)
-    crf = cr.astype(jnp.float32)
+    """Device twin of _ycc_to_rgb_np: the same exact integer fancy
+    upsample + jdcolor fixed-point conversion as int32 XLA elementwise
+    ops, so every engine produces libjpeg's bytes."""
+    yi = y[:h, :w].astype(jnp.int32)
+    cb32 = cb.astype(jnp.int32)
+    cr32 = cr.astype(jnp.int32)
 
-    def up_h(c):
-        # h2 fancy: out[2i] = (3*c[i] + c[i-1] + 2) >> 2 etc (approximated
-        # in float: 0.75/0.25 weights, edge clamped)
+    def up_h_fancy(c, be, bo, sh):
         left = jnp.concatenate([c[:, :1], c[:, :-1]], axis=1)
         right = jnp.concatenate([c[:, 1:], c[:, -1:]], axis=1)
-        a = 0.75 * c + 0.25 * left
-        b = 0.75 * c + 0.25 * right
-        out = jnp.stack([a, b], axis=-1).reshape(c.shape[0], -1)
-        return out
+        e = jax.lax.shift_right_arithmetic(3 * c + left + be, sh)
+        o = jax.lax.shift_right_arithmetic(3 * c + right + bo, sh)
+        return jnp.stack([e, o], axis=-1).reshape(c.shape[0], -1)
 
-    def up_v(c):
+    def up_v_sums(c):
         upr = jnp.concatenate([c[:1], c[:-1]], axis=0)
         dnr = jnp.concatenate([c[1:], c[-1:]], axis=0)
-        a = 0.75 * c + 0.25 * upr
-        b = 0.75 * c + 0.25 * dnr
-        out = jnp.stack([a, b], axis=1).reshape(-1, c.shape[1])
-        return out
+        return jnp.stack([3 * c + upr, 3 * c + dnr],
+                         axis=1).reshape(-1, c.shape[1])
 
-    if fmt_key in ("420", "410"):
-        cbf, crf = up_v(cbf), up_v(crf)
-    if fmt_key == "440":
-        cbf, crf = up_v(cbf), up_v(crf)
-    if fmt_key in ("420", "422"):
-        cbf, crf = up_h(cbf), up_h(crf)
-    if fmt_key in ("411", "410"):
-        cbf, crf = up_h(up_h(cbf)), up_h(up_h(crf))
-    cbf = cbf[:h, :w] - 128.0
-    crf = crf[:h, :w] - 128.0
-    yf = yf[:h, :w]
-    r = yf + 1.402 * crf
-    g = yf - 0.344136286 * cbf - 0.714136286 * crf
-    b = yf + 1.772 * cbf
-    rgb = jnp.stack([r, g, b])
-    return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
+    def up_v_fancy(c):
+        upr = jnp.concatenate([c[:1], c[:-1]], axis=0)
+        dnr = jnp.concatenate([c[1:], c[-1:]], axis=0)
+        return jnp.stack([jax.lax.shift_right_arithmetic(3 * c + upr + 1, 2),
+                          jax.lax.shift_right_arithmetic(3 * c + dnr + 2, 2)],
+                         axis=1).reshape(-1, c.shape[1])
+
+    def up(c):
+        if fmt_key == "420":
+            return up_h_fancy(up_v_sums(c), 8, 7, 4)
+        if fmt_key == "422":
+            return up_h_fancy(c, 1, 2, 2)
+        if fmt_key == "440":
+            return up_v_fancy(c)
+        if fmt_key == "411":
+            return jnp.repeat(c, 4, axis=1)
+        if fmt_key == "410":
+            return jnp.repeat(jnp.repeat(c, 2, axis=0), 4, axis=1)
+        return c  # 444
+
+    cbu = up(cb32)[:h, :w]
+    cru = up(cr32)[:h, :w]
+    r = yi + jnp.take(jnp.asarray(YCC_CR_R), cru)
+    g = yi + jax.lax.shift_right_arithmetic(
+        jnp.take(jnp.asarray(YCC_CB_G), cbu)
+        + jnp.take(jnp.asarray(YCC_CR_G), cru), 16)
+    b = yi + jnp.take(jnp.asarray(YCC_CB_B), cbu)
+    return jnp.clip(jnp.stack([r, g, b]), 0, 255).astype(jnp.uint8)
 
 
 def decode_to_rgba(data: bytes, info: JpegInfo | None = None,

@@ -96,14 +96,6 @@ def test_decode_parity_pq(name):
     ours = np.asarray(JpegR().decode(
         bytes(z["jpegr"]), output_ct=ColorTransfer.PQ)[0].planes[0])
     psnr = _psnr_1010102(ours, z["dec_pq_1010102"])
-    # The XMP fixture's gainmap is applied in base (P3) space with no
-    # gamut conversion, so near-zero-G saturated pixels sit on the PQ
-    # toe where a +-1-code base-decode difference costs ~100 output
-    # codes; crossing 60 dB there needs the bit-exact (libjpeg islow)
-    # base decode path.
-    if psnr < 60.0 and "xmp" in name and psnr >= 55.0:
-        pytest.xfail(f"{name}: PQ-toe amplification pending bit-exact "
-                     f"base decode ({psnr:.2f} dB)")
     assert psnr >= 60.0, f"{name}: PQ cross-decoder PSNR {psnr:.2f} dB"
 
 
@@ -128,13 +120,7 @@ def test_decode_parity_srgb(name):
         bytes(z["jpegr"]), output_ct=ColorTransfer.SRGB,
         output_fmt=ImgFmt.RGBA8888)[0].planes[0])
     psnr = _psnr_8888(ours, z["dec_srgb_8888"])
-    # 420-subsampled bases: the reference's SRGB output is libjpeg's
-    # fancy (triangle) chroma upsample + fixed-point ycc->rgb; ours is
-    # within max 2 codes of it (52+ dB) until the bit-exact base decode
-    # path lands.
-    if psnr < 60.0 and psnr >= 50.0:
-        pytest.xfail(f"{name}: SRGB upsample/convert rounding pending "
-                     f"bit-exact base decode ({psnr:.2f} dB)")
+    # bit-exact now: islow IDCT + fancy upsample + jdcolor fixed point
     assert psnr >= 60.0, f"{name}: SRGB cross-decoder PSNR {psnr:.2f} dB"
 
 
