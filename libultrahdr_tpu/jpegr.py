@@ -605,7 +605,8 @@ class JpegR:
         return arr, metadata
 
     def decode_to_device_batch(self, streams, output_ct=ColorTransfer.HLG,
-                               max_display_boost: float = 3.4028235e38):
+                               max_display_boost: float = 3.4028235e38,
+                               mesh=None):
         """Batched decode_to_device: K JPEG_R streams -> K device-resident
         packed outputs with ONE coalesced coefficient upload and ONE
         vmapped program per uniform group (the decode-side analog of the
@@ -623,7 +624,14 @@ class JpegR:
 
         Reference role: the decode contract at jpegr.cpp:1384-1446, scaled
         the TPU way (batch the link, vmap the program) instead of the
-        reference's 4-thread row pool."""
+        reference's 4-thread row pool.
+
+        With `mesh` (a jax.sharding.Mesh), the batch dimension of every
+        stacked input is sharded over the mesh's first axis, so the one
+        vmapped program runs SPMD across chips — K streams decode on N
+        chips with no cross-chip collectives (the batch is element-wise
+        independent).  Falls back to single-device stacking when the
+        group size does not divide the axis."""
         from . import fused as fused_mod
         output_ct = ColorTransfer(output_ct)
         if output_ct == ColorTransfer.SRGB:
@@ -710,8 +718,11 @@ class JpegR:
             # the link while the host Huffman-decodes and packs image
             # i+1.  The batch program then stacks the already-resident
             # blobs on device (cheap concat) instead of waiting for one
-            # big serial upload after all host work is done.
-            blobs.append(jax.device_put(np.frombuffer(blob, np.uint8)))
+            # big serial upload after all host work is done.  (Sharded
+            # mode stages on host: the one sharded put distributes
+            # per-shard slices directly to their chips.)
+            arr = np.frombuffer(blob, np.uint8)
+            blobs.append(arr if mesh is not None else jax.device_put(arr))
             qts.append(np.stack([np.asarray(q, np.int32)
                                  for q in base_qts + gm_qts]))
             metas.append(apply_ops.metadata_to_arrays(p["metadata"]))
@@ -724,9 +735,26 @@ class JpegR:
             p0 = parsed[batch_idx[0]]
             meta_stack = {k: np.stack([m[k] for m in metas])
                           for k in metas[0]}
+            if mesh is not None and \
+                    len(batch_idx) % mesh.shape[mesh.axis_names[0]] == 0:
+                from jax.sharding import NamedSharding, PartitionSpec
+                axis = mesh.axis_names[0]
+
+                def put(x, spec):
+                    return jax.device_put(
+                        x, NamedSharding(mesh, PartitionSpec(*spec)))
+                blob_stack = put(np.stack(blobs), (axis, None))
+                qt_stack = put(np.stack(qts), (axis, None, None))
+                wgt_stack = put(np.asarray(weights, np.float32), (axis,))
+                meta_stack = {k: put(v, (axis, None))
+                              for k, v in meta_stack.items()}
+            else:
+                blob_stack = jnp.stack(blobs)
+                qt_stack = jnp.asarray(np.stack(qts))
+                wgt_stack = jnp.asarray(np.asarray(weights, np.float32))
             packed, _ = fused_mod._fused_decode_batch(
-                jnp.stack(blobs), jnp.asarray(np.stack(qts)),
-                meta_stack, jnp.asarray(np.asarray(weights, np.float32)),
+                blob_stack, qt_stack,
+                meta_stack, wgt_stack,
                 plane_shapes=p0["shapes"], n_base=p0["n_base"],
                 h=p0["h"], w=p0["w"], sampling_key=p0["key"],
                 gm_channels=p0["gm_channels"], scale_k=p0["scale_k"],

@@ -286,3 +286,33 @@ def test_row_shard_constraint():
     y, uv = _p010_batch(1, 40, 128)  # 40/8 = 5 rows: odd, not /4
     with pytest.raises(ValueError):
         step(y, uv)
+
+
+def test_mesh_sharded_batched_decode_bit_identical():
+    """decode_to_device_batch(mesh=...) shards the batch dim of the one
+    vmapped decode program over the mesh's data axis (jpegr.py mesh
+    mode); outputs must match the unsharded batch AND the per-image
+    path bit-for-bit."""
+    from libultrahdr_tpu.jpegr import JpegR
+    from libultrahdr_tpu.types import ImgFmt, RawImage
+
+    rs = np.random.RandomState(5)
+    jr = JpegR(map_dimension_scale_factor=2,
+               use_multi_channel_gainmap=False)
+    streams = []
+    for k in range(8):
+        y = (rs.randint(0, 1024, (32, 32)).astype(np.uint16) << 6)
+        uv = (rs.randint(0, 1024, (16, 32)).astype(np.uint16) << 6)
+        img = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                       ColorRange.FULL, 32, 32, [y, uv])
+        streams.append(jr.encode_api0(img, quality=92))
+
+    mesh = parallel.make_mesh(8, 1)
+    sharded = jr.decode_to_device_batch(streams, mesh=mesh)
+    plain = jr.decode_to_device_batch(streams)
+    singles = [jr.decode_to_device(s) for s in streams]
+    for (so, _), (po, _), (io_, _) in zip(sharded, plain, singles):
+        np.testing.assert_array_equal(np.asarray(so), np.asarray(po))
+        np.testing.assert_array_equal(np.asarray(so), np.asarray(io_))
+    # the sharded result really is distributed over the 8 devices
+    assert len(sharded[0][0].sharding.device_set) == 8
