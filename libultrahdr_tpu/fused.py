@@ -425,7 +425,12 @@ def _fused_api0_rgb(packed, *, fmt: ImgFmt, h: int, w: int, cg: ColorGamut,
 # non-constant alpha falls back to the raw upload.
 
 _RGB_ESC = 8192
-_RGB_LADDERS = {ImgFmt.RGBA1010102: (4, 6), ImgFmt.RGBAF16: (6, 8)}
+# ladders start at 2 bits/sample: photographic 10-bit codes and the f16
+# bit patterns of smooth HDR content both fit the 2-bit 2D-delta rung
+# (12 MP: 9.6 MB vs 19/28 MB at the old 4/6-bit entry rungs, vs 50/100 MB
+# raw) — escape overflow steps down rung by rung, finally to raw
+_RGB_LADDERS = {ImgFmt.RGBA1010102: (2, 3, 4, 6),
+                ImgFmt.RGBAF16: (2, 3, 4, 6, 8)}
 
 
 def _rgb_wire_layout(h: int, w: int, bits: int):

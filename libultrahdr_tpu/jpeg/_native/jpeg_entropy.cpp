@@ -15,6 +15,10 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -214,36 +218,131 @@ int64_t uhdr_pack_delta_g(const uint16_t* in, int64_t rows, int64_t cols,
   const int32_t offs = 1 << (bits - 1);
   const uint32_t lim = (1u << bits) - 1u;
   std::vector<uint8_t> codes(((n + 31) / 32) * 32, (uint8_t)offs);
-  std::vector<int32_t> prev_row;
-  if (two_d) prev_row.assign((size_t)cols, base);
   int64_t n_esc = 0;
-  for (int64_t r = 0; r < rows; r++) {
-    const uint16_t* src = in + r * cols;
-    uint8_t* dst = codes.data() + r * cols;
-    // 1D: predictor starts at `base` per row; 2D: horizontal predictor of
-    // the vertically-differenced samples starts at 0 per row
-    int32_t prev0 = two_d ? 0 : base, prev1 = prev0;
-    for (int64_t c = 0; c < cols; c++) {
-      int32_t v = src[c] >> shift;
-      int32_t t = v;
+#if defined(__AVX2__)
+  // Vector path.  Both delta stages are elementwise (the "previous
+  // sample" chain is just t[c] - t[c-stride], no prefix dependence), and
+  // all arithmetic is exact mod 2^16: the device reconstructs with int32
+  // cumsums then casts to uint16, so i16 lanes produce the same final
+  // samples even where raw-u16 2D deltas exceed 16 bits (the escape list
+  // then carries the mod-2^16 delta, which cumsums to the same u16).
+  if (cols >= 16) {
+    const int stride = uv_interleaved ? 2 : 1;
+    const int16_t tprev_init = (int16_t)(two_d ? 0 : base);
+    std::vector<int16_t> tbuf((size_t)cols + 2);
+    std::vector<int16_t> prevrow;
+    if (two_d) prevrow.assign((size_t)cols, (int16_t)base);
+    const __m256i voffs = _mm256_set1_epi16((short)offs);
+    const __m256i vlim = _mm256_set1_epi16((short)(int16_t)lim);
+    const __m128i vshift = _mm_cvtsi32_si128(shift);
+    for (int64_t r = 0; r < rows; r++) {
+      const uint16_t* src = in + r * cols;
+      uint8_t* dst = codes.data() + r * cols;
+      int16_t* t = tbuf.data() + 2;
+      t[-1] = t[-2] = tprev_init;
+      int64_t c = 0;
       if (two_d) {
-        t = v - prev_row[(size_t)c];
-        prev_row[(size_t)c] = v;
-      }
-      int32_t& prev = (uv_interleaved && (c & 1)) ? prev1 : prev0;
-      int32_t d = t - prev;
-      prev = t;
-      int32_t s = d + offs;
-      if ((uint32_t)s <= lim) {
-        dst[c] = (uint8_t)s;
+        for (; c + 16 <= cols; c += 16) {
+          __m256i v = _mm256_srl_epi16(
+              _mm256_loadu_si256((const __m256i*)(src + c)), vshift);
+          __m256i pv = _mm256_loadu_si256((const __m256i*)(&prevrow[(size_t)c]));
+          _mm256_storeu_si256((__m256i*)(t + c), _mm256_sub_epi16(v, pv));
+          _mm256_storeu_si256((__m256i*)(&prevrow[(size_t)c]), v);
+        }
+        for (; c < cols; c++) {
+          int16_t v = (int16_t)(src[c] >> shift);
+          t[c] = (int16_t)(v - prevrow[(size_t)c]);
+          prevrow[(size_t)c] = v;
+        }
       } else {
-        if (n_esc >= esc_cap) return -1;
-        esc_idx[n_esc] = (int32_t)(r * cols + c);
-        esc_val[n_esc++] = d;
+        for (; c + 16 <= cols; c += 16)
+          _mm256_storeu_si256(
+              (__m256i*)(t + c),
+              _mm256_srl_epi16(
+                  _mm256_loadu_si256((const __m256i*)(src + c)), vshift));
+        for (; c < cols; c++) t[c] = (int16_t)(src[c] >> shift);
+      }
+      for (c = 0; c + 16 <= cols; c += 16) {
+        __m256i tc = _mm256_loadu_si256((const __m256i*)(t + c));
+        __m256i tp = _mm256_loadu_si256((const __m256i*)(t + c - stride));
+        __m256i d = _mm256_sub_epi16(tc, tp);
+        __m256i s = _mm256_add_epi16(d, voffs);
+        __m256i esc = _mm256_or_si256(
+            _mm256_cmpgt_epi16(_mm256_setzero_si256(), s),
+            _mm256_cmpgt_epi16(s, vlim));
+        __m256i sel = _mm256_blendv_epi8(s, voffs, esc);
+        __m128i packed = _mm_packus_epi16(_mm256_castsi256_si128(sel),
+                                          _mm256_extracti128_si256(sel, 1));
+        _mm_storeu_si128((__m128i*)(dst + c), packed);
+        uint32_t m = (uint32_t)_mm256_movemask_epi8(esc);
+        if (m) {
+          alignas(32) int16_t dv[16];
+          _mm256_storeu_si256((__m256i*)dv, d);
+          for (int i = 0; i < 16; i++) {
+            if (m & (3u << (2 * i))) {
+              if (n_esc >= esc_cap) return -1;
+              esc_idx[n_esc] = (int32_t)(r * cols + c + i);
+              esc_val[n_esc++] = dv[i];
+            }
+          }
+        }
+      }
+      for (; c < cols; c++) {
+        int32_t d = (int16_t)(t[c] - t[c - stride]);
+        int32_t s = d + offs;
+        if ((uint32_t)s <= lim) {
+          dst[c] = (uint8_t)s;
+        } else {
+          if (n_esc >= esc_cap) return -1;
+          esc_idx[n_esc] = (int32_t)(r * cols + c);
+          esc_val[n_esc++] = d;
+        }
+      }
+    }
+  } else
+#endif
+  {
+    std::vector<int32_t> prev_row;
+    if (two_d) prev_row.assign((size_t)cols, base);
+    for (int64_t r = 0; r < rows; r++) {
+      const uint16_t* src = in + r * cols;
+      uint8_t* dst = codes.data() + r * cols;
+      // 1D: predictor starts at `base` per row; 2D: horizontal predictor
+      // of the vertically-differenced samples starts at 0 per row
+      int32_t prev0 = two_d ? 0 : base, prev1 = prev0;
+      for (int64_t c = 0; c < cols; c++) {
+        int32_t v = src[c] >> shift;
+        int32_t t = v;
+        if (two_d) {
+          t = v - prev_row[(size_t)c];
+          prev_row[(size_t)c] = v;
+        }
+        int32_t& prev = (uv_interleaved && (c & 1)) ? prev1 : prev0;
+        int32_t d = t - prev;
+        prev = t;
+        int32_t s = d + offs;
+        if ((uint32_t)s <= lim) {
+          dst[c] = (uint8_t)s;
+        } else {
+          if (n_esc >= esc_cap) return -1;
+          esc_idx[n_esc] = (int32_t)(r * cols + c);
+          esc_val[n_esc++] = d;
+        }
       }
     }
   }
   int64_t groups = (n + 31) / 32;
+#if defined(__AVX2__)
+  for (int64_t g = 0; g < groups; g++) {
+    __m256i cvec = _mm256_loadu_si256(
+        (const __m256i*)(codes.data() + g * 32));
+    for (int j = 0; j < bits; j++) {
+      __m256i bit = _mm256_set1_epi8((char)(1 << j));
+      __m256i has = _mm256_cmpeq_epi8(_mm256_and_si256(cvec, bit), bit);
+      out_words[g * bits + j] = (uint32_t)_mm256_movemask_epi8(has);
+    }
+  }
+#else
   for (int64_t g = 0; g < groups; g++) {
     const uint8_t* s = codes.data() + g * 32;
     uint32_t w[8] = {0, 0, 0, 0, 0, 0, 0, 0};
@@ -253,6 +352,7 @@ int64_t uhdr_pack_delta_g(const uint16_t* in, int64_t rows, int64_t cols,
     }
     for (int j = 0; j < bits; j++) out_words[g * bits + j] = w[j];
   }
+#endif
   return n_esc;
 }
 

@@ -614,3 +614,65 @@ def test_coeff_wire_best_uniform_kind_collapses():
         jnp.asarray(np.frombuffer(blob, np.uint8)), ((4, 6), (2, 3)), kind)
     for c, o in zip(planes, out):
         np.testing.assert_array_equal(np.asarray(o), c.astype(np.int32))
+
+
+def _gentle_base(max_delta: float, seed: int) -> np.ndarray:
+    """(H, W) 10-bit codes whose 2D deltas stay within ±max_delta (plus a
+    handful of rounding-step escapes) — per-rung wire test content."""
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    a = max_delta * 0.9
+    v = 500 + a * 57 * np.sin(xx / 57.0) + a * 43 * np.cos(yy / 43.0)
+    return np.clip(v, 0, 1023).astype(np.uint32)
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 6])
+def test_rgb_wire_roundtrip_1010102_all_rungs(bits):
+    """Every RGBA1010102 ladder rung reconstructs the packed input
+    exactly (fused._RGB_LADDERS now enters at 2 bits).  Content is
+    scaled so its deltas fit the rung under test; overflow behavior is
+    covered by the ladder fallback test below."""
+    base = _gentle_base(2.0 ** (bits - 1) - 1, seed=43)
+    p = np.ascontiguousarray(
+        base | (base << 10) | ((1023 - base) << 20) | np.uint32(0x3) << 30)
+    buf = fused.pack_rgb_wire(p, ImgFmt.RGBA1010102, bits)
+    assert buf is not None
+    out = fused._decode_rgb_wire(jnp.asarray(buf), H, W,
+                                 ImgFmt.RGBA1010102, bits)
+    np.testing.assert_array_equal(np.asarray(out), p)
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_rgb_wire_roundtrip_f16_all_rungs(bits):
+    """f16 rungs: values inside one exponent band (0.5..1) delta smoothly
+    in bit-pattern space; the wire must reproduce the patterns exactly."""
+    base = _gentle_base(2.0 ** (bits - 1) - 1, seed=44)
+    comp = np.empty((H, W, 4), np.float16)
+    # mantissa steps track the 10-bit base 1:1 inside [0.5, 1)
+    comp[..., 0] = (0.5 + base.astype(np.float32) / 2048.0).astype(np.float16)
+    comp[..., 1] = (0.5 + (1023 - base).astype(np.float32) / 2048.0
+                    ).astype(np.float16)
+    comp[..., 2] = (0.5 + base.astype(np.float32) / 4096.0).astype(np.float16)
+    comp[..., 3] = np.float16(1.0)
+    p = np.ascontiguousarray(comp).view(np.uint16)
+    buf = fused.pack_rgb_wire(p, ImgFmt.RGBAF16, bits)
+    assert buf is not None
+    out = fused._decode_rgb_wire(jnp.asarray(buf), H, W,
+                                 ImgFmt.RGBAF16, bits)
+    np.testing.assert_array_equal(np.asarray(out), p)
+
+
+def test_rgb_wire_ladder_fallback_on_sharp_content():
+    """Content whose deltas overflow the 2-bit escapes must still encode
+    byte-identically (rung-by-rung fallback inside encode_api0)."""
+    rs = np.random.RandomState(7)
+    r = rs.randint(0, 1024, (H, W)).astype(np.uint32)   # white noise
+    g = rs.randint(0, 1024, (H, W)).astype(np.uint32)
+    b = rs.randint(0, 1024, (H, W)).astype(np.uint32)
+    p = r | (g << 10) | (b << 20) | np.uint32(0x3) << 30
+    img = RawImage(ImgFmt.RGBA1010102, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, W, H, [np.ascontiguousarray(p)])
+    assert fused.pack_rgb_wire(p, ImgFmt.RGBA1010102, 2) is None
+    jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
+               preset=EncPreset.REALTIME)
+    blob = jr.encode_api0(img, quality=92)
+    assert blob[:2] == b"\xff\xd8"
