@@ -547,7 +547,10 @@ class JpegR:
         support on the sRGB path, ultrahdr_api.cpp:1815-1840)."""
         gm_cg = icc_mod.read_icc_color_gamut(gm_info.icc) if gm_info.icc \
             else ColorGamut.UNSPECIFIED
-        planes, gm_fmt = decode_to_planes(gm_jpeg, gm_info)
+        # host engine: this is a host-memory output of a (usually tiny)
+        # secondary image — the device round trip (upload + download over
+        # a ~40 ms/transfer link) would dominate its cost
+        planes, gm_fmt = decode_to_planes(gm_jpeg, gm_info, engine="host")
         if gm_fmt == ImgFmt.YUV400:
             return RawImage(ImgFmt.YUV400, gm_cg, ColorTransfer.UNSPECIFIED,
                             ColorRange.FULL, gm_info.width, gm_info.height,
