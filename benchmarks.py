@@ -134,6 +134,61 @@ def grainy_p010(w: int, h: int, seed: int = 23) -> RawImage:
                     [np.ascontiguousarray(y10), np.ascontiguousarray(uv)])
 
 
+_PHOTO_NPZ = pathlib.Path(__file__).parent / "tests" / "data" / \
+    "photo_yu12_320x240.npz"
+
+
+def photo_p010(w: int, h: int, seed: int = 11) -> RawImage:
+    """GENUINELY photographic P010 content: tiles of a real photograph
+    (tests/data/photo_yu12_320x240.npz, derived once from the
+    reference repo's public minnie-320x240.yu12 camera capture,
+    tests/data LICENSE Apache-2.0) with per-tile brightness modulation
+    plus a smooth HDR highlight field, so per-8x8-block AC statistics are
+    a real capture's (mean |AC| ~16 codes) and the gain map has dynamic
+    range to encode.  This is the analog of the reference benchmark's
+    photographic corpus (benchmark_test.cpp:55-72), which downloads real
+    photos from a cloud bucket."""
+    z = np.load(_PHOTO_NPZ)
+    y8, u8, v8 = z["y"], z["u"], z["v"]
+    rs = np.random.RandomState(seed)
+    fh, fw = y8.shape
+    ty, tx = -(-h // fh), -(-w // fw)
+    # per-tile exposure (photo mosaics repeat; modulation decorrelates
+    # block statistics across tiles without destroying photo texture)
+    gains = 0.7 + 0.6 * rs.rand(ty, tx).astype(np.float32)
+
+    def tile(p, th, tw, cell_h, cell_w):
+        rows = []
+        for iy in range(ty):
+            cells = []
+            for ix in range(tx):
+                t = p.astype(np.float32) * gains[iy, ix]
+                if ix % 2:
+                    t = t[:, ::-1]
+                if iy % 2:
+                    t = t[::-1, :]
+                cells.append(t)
+            rows.append(np.concatenate(cells, axis=1))
+        return np.concatenate(rows, axis=0)[:th, :tw]
+
+    lum = tile(y8, h, w, fh, fw) / 255.0
+    # smooth HDR highlight field: pushes part of the scene above SDR so
+    # the gain map carries signal (HLG-ish 10-bit codes)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    hl = 0.25 * np.exp(-(((yy / h - 0.3) ** 2 + (xx / w - 0.7) ** 2)
+                         / 0.08))
+    y10 = np.clip((0.1 + 0.65 * lum + hl) * 1023, 0, 1023)
+    y10 = y10.astype(np.uint16) << 6
+    cu = tile(u8, h // 2, w // 2, fh // 2, fw // 2)
+    cv = tile(v8, h // 2, w // 2, fh // 2, fw // 2)
+    uv = np.empty((h // 2, w), np.uint16)
+    uv[:, 0::2] = np.clip(cu * 4.0, 0, 1023).astype(np.uint16) << 6
+    uv[:, 1::2] = np.clip(cv * 4.0, 0, 1023).astype(np.uint16) << 6
+    return RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                    ColorRange.FULL, w, h,
+                    [np.ascontiguousarray(y10), np.ascontiguousarray(uv)])
+
+
 def _p010_to_rgba1010102(img: RawImage) -> RawImage:
     """Repack P010 YCbCr as RGBA1010102 carrying the same pixel entropy
     (benchmarks need matched content across input formats, not a color
@@ -180,12 +235,13 @@ def main(argv=None):
     ap.add_argument("--json", default=None, metavar="PATH",
                     help="write the result matrix as a JSON artifact "
                          "(BENCHMATRIX_r*.json for the judge)")
-    ap.add_argument("--scene", choices=["mosaic", "grainy"],
+    ap.add_argument("--scene", choices=["mosaic", "grainy", "photo"],
                     default="mosaic",
                     help="content: 'mosaic' tiles the reference's P010 "
                          "test fixture (a flat 8-value chart — flattering "
                          "for entropy/transfer-bound stages), 'grainy' is "
-                         "the real-entropy scene (BASELINE.md variants)")
+                         "the synthetic real-entropy scene, 'photo' tiles "
+                         "a real photograph (BASELINE.md variants)")
     args = ap.parse_args(argv)
 
     if args.quick:
@@ -195,7 +251,8 @@ def main(argv=None):
     if args.size:
         w, h = (int(x) for x in args.size.lower().split("x"))
     mp = w * h / 1e6
-    hdr = (grainy_p010 if args.scene == "grainy" else natural_p010)(w, h)
+    hdr = {"grainy": grainy_p010, "photo": photo_p010,
+           "mosaic": natural_p010}[args.scene](w, h)
     rows = []
 
     def run(name, f):
@@ -245,6 +302,19 @@ def main(argv=None):
                             (ColorTransfer.LINEAR, ImgFmt.RGBAF16),
                             (ColorTransfer.SRGB, ImgFmt.RGBA8888)]:
                 d = JpegR()
+
+                # what a library user gets: UhdrDecoder's engine routing
+                # (native host SIMD for host-memory outputs, device
+                # fallback) — the row comparable to the reference CLI
+                def routed(data=data, ct=ct, fmt=fmt):
+                    from libultrahdr_tpu import api
+                    dec = api.UhdrDecoder()
+                    dec.set_image(data)
+                    dec.set_out_color_transfer(ct)
+                    dec.set_out_img_format(fmt)
+                    dec.decode()
+
+                run(f"dec {tag} -> {ct.name.lower()} (public api)", routed)
                 run(f"dec {tag} -> {ct.name.lower()} (device)",
                     lambda d=d, data=data, ct=ct, fmt=fmt: d.decode(
                         data, output_ct=ct, output_fmt=fmt))
