@@ -49,10 +49,16 @@ _SAN_FLAGS = ["-O1", "-g", "-fsanitize=address,undefined",
               "-fno-sanitize-recover=all"]
 
 
+def _cxx() -> str:
+    """UHDR_TPU_CXX selects the compiler (CI clang configs)."""
+    return os.environ.get("UHDR_TPU_CXX", "g++")
+
+
 def build_shim() -> pathlib.Path:
     src = _DIR / "uhdr_capi.cpp"
     hdr = _DIR / "ultrahdr_tpu.h"
-    tag = hashlib.sha256(src.read_bytes() + hdr.read_bytes()).hexdigest()[:16]
+    tag = hashlib.sha256(src.read_bytes() + hdr.read_bytes()
+                         + _cxx().encode()).hexdigest()[:16]
     name = f"libuhdr_tpu_{tag}_asan.so" if _sanitize() \
         else f"libuhdr_tpu_{tag}.so"
     so = _cache_dir() / name
@@ -62,7 +68,7 @@ def build_shim() -> pathlib.Path:
     opt = _SAN_FLAGS if _sanitize() else ["-O2"]
     tmp = so.with_suffix(".so.tmp")
     subprocess.run(
-        ["g++", *opt, "-shared", "-fPIC", "-std=c++17", str(src),
+        [_cxx(), *opt, "-shared", "-fPIC", "-std=c++17", str(src),
          f"-I{_DIR}"] + cflags + ["-o", str(tmp)] + ldflags,
         check=True, capture_output=True)
     os.replace(tmp, so)
@@ -78,8 +84,10 @@ def build_test(shim: pathlib.Path) -> pathlib.Path:
         return exe
     opt = _SAN_FLAGS if _sanitize() else ["-O1"]
     tmp = exe.with_suffix(".tmp")
+    cc = os.environ.get("UHDR_TPU_CC",
+                        "clang" if "clang" in _cxx() else "gcc")
     subprocess.run(
-        ["gcc", *opt, str(src), f"-I{_DIR}", str(shim),
+        [cc, *opt, str(src), f"-I{_DIR}", str(shim),
          f"-Wl,-rpath,{shim.parent}", "-o", str(tmp)],
         check=True, capture_output=True)
     os.replace(tmp, exe)

@@ -84,6 +84,52 @@ int main(void) {
 
   CHECK(is_uhdr_image(out->data, (int)out->data_sz) == 1, "is_uhdr_image");
 
+  /* stride-bearing raw images: a padded layout (stride > width) must be
+     honored and produce a byte-identical stream (reference validates and
+     honors strides, ultrahdr_api.cpp:815-1031; invariance contract
+     jpegr_test.cpp:1537-1558) */
+  {
+    unsigned pad = 24, ls = w + pad;
+    unsigned short* yp = (unsigned short*)calloc((size_t)ls * h, 2);
+    unsigned short* uvp = (unsigned short*)calloc((size_t)ls * (h / 2), 2);
+    CHECK(yp && uvp, "padded alloc");
+    for (unsigned r = 0; r < h; r++)
+      memcpy(yp + (size_t)r * ls, y + (size_t)r * w, (size_t)w * 2);
+    for (unsigned r = 0; r < h / 2; r++)
+      memcpy(uvp + (size_t)r * ls, uv + (size_t)r * w, (size_t)w * 2);
+    uhdr_codec_private_t* enc2 = uhdr_create_encoder();
+    CHECK(enc2 != NULL, "create_encoder (padded)");
+    uhdr_raw_image_t img2 = img;
+    img2.planes[UHDR_PLANE_Y] = yp;
+    img2.planes[UHDR_PLANE_UV] = uvp;
+    img2.stride[UHDR_PLANE_Y] = ls;
+    img2.stride[UHDR_PLANE_UV] = ls;
+    CHECK_OK(uhdr_enc_set_raw_image(enc2, &img2, UHDR_HDR_IMG),
+             "set_raw_image (padded stride)");
+    CHECK_OK(uhdr_enc_set_quality(enc2, 92, UHDR_BASE_IMG),
+             "set_quality (padded)");
+    CHECK_OK(uhdr_enc_set_gainmap_scale_factor(enc2, 2),
+             "set_gainmap_scale_factor (padded)");
+    CHECK_OK(uhdr_enc_set_preset(enc2, UHDR_USAGE_REALTIME),
+             "set_preset (padded)");
+    CHECK_OK(uhdr_encode(enc2), "uhdr_encode (padded stride)");
+    uhdr_compressed_image_t* out2 = uhdr_get_encoded_stream(enc2);
+    CHECK(out2 != NULL && out2->data_sz == out->data_sz,
+          "padded-stride stream size matches");
+    CHECK(memcmp(out2->data, out->data, out->data_sz) == 0,
+          "padded-stride stream bit-identical");
+
+    /* stride < width must be rejected, not crash */
+    img2.stride[UHDR_PLANE_Y] = w - 2;
+    uhdr_error_info_t bad_stride = uhdr_enc_set_raw_image(enc2, &img2,
+                                                          UHDR_HDR_IMG);
+    CHECK(bad_stride.error_code == UHDR_CODEC_INVALID_PARAM,
+          "stride < width rejected");
+    uhdr_release_encoder(enc2);
+    free(yp);
+    free(uvp);
+  }
+
   /* decode it back */
   uhdr_codec_private_t* dec = uhdr_create_decoder();
   CHECK(dec != NULL, "uhdr_create_decoder");

@@ -53,6 +53,16 @@ class _ErrorInfo(ctypes.Structure):
                 ("detail", ctypes.c_char * 256)]
 
 
+class _RawImage(ctypes.Structure):
+    """uhdr_raw_image_t (ultrahdr_api.h:212-231)."""
+
+    _fields_ = [("fmt", ctypes.c_int), ("cg", ctypes.c_int),
+                ("ct", ctypes.c_int), ("range", ctypes.c_int),
+                ("w", ctypes.c_uint), ("h", ctypes.c_uint),
+                ("planes", ctypes.c_void_p * 3),
+                ("stride", ctypes.c_uint * 3)]
+
+
 def _load_ref():
     lib = ctypes.CDLL(LIB)
     lib.uhdr_create_decoder.restype = ctypes.c_void_p
@@ -62,7 +72,68 @@ def _load_ref():
     lib.uhdr_dec_probe.restype = _ErrorInfo
     lib.uhdr_dec_probe.argtypes = [ctypes.c_void_p]
     lib.uhdr_release_decoder.argtypes = [ctypes.c_void_p]
+    lib.uhdr_dec_set_out_color_transfer.restype = _ErrorInfo
+    lib.uhdr_dec_set_out_color_transfer.argtypes = [ctypes.c_void_p,
+                                                    ctypes.c_int]
+    lib.uhdr_dec_set_out_img_format.restype = _ErrorInfo
+    lib.uhdr_dec_set_out_img_format.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_int]
+    lib.uhdr_decode.restype = _ErrorInfo
+    lib.uhdr_decode.argtypes = [ctypes.c_void_p]
+    lib.uhdr_get_decoded_image.restype = ctypes.POINTER(_RawImage)
+    lib.uhdr_get_decoded_image.argtypes = [ctypes.c_void_p]
     return lib
+
+
+def ref_decode_hlg(lib, data: bytes):
+    """Full reference decode to RGBA1010102/HLG; (h, w) uint32 or None."""
+    dec = lib.uhdr_create_decoder()
+    try:
+        buf = ctypes.create_string_buffer(data, len(data))
+        comp = _Compressed()
+        comp.data = ctypes.cast(buf, ctypes.c_void_p)
+        comp.data_sz = comp.capacity = len(data)
+        comp.cg = comp.ct = comp.range = 0
+        if lib.uhdr_dec_set_image(dec, ctypes.byref(comp)).error_code:
+            return None
+        if lib.uhdr_dec_set_out_color_transfer(dec, 1).error_code:  # HLG
+            return None
+        if lib.uhdr_dec_set_out_img_format(dec, 5).error_code:  # 1010102
+            return None
+        if lib.uhdr_decode(dec).error_code:
+            return None
+        img = lib.uhdr_get_decoded_image(dec)
+        if not img or not img.contents.planes[0]:
+            return None
+        c = img.contents
+        n = c.stride[0] * c.h
+        flat = np.ctypeslib.as_array(
+            ctypes.cast(c.planes[0], ctypes.POINTER(ctypes.c_uint32)),
+            shape=(n,))
+        return flat.reshape(c.h, c.stride[0])[:, :c.w].copy()
+    finally:
+        lib.uhdr_release_decoder(dec)
+
+
+def our_decode_hlg(data: bytes):
+    """((h, w) uint32, None) or (None, exception)."""
+    from libultrahdr_tpu.errors import UhdrError
+    from libultrahdr_tpu.jpegr import JpegR
+    from libultrahdr_tpu.types import ColorTransfer
+    try:
+        img = JpegR().decode(data, output_ct=ColorTransfer.HLG)[0]
+        return np.asarray(img.planes[0]), None
+    except (UhdrError, ValueError):
+        return None, None
+    except Exception as e:  # noqa: BLE001
+        return None, e
+
+
+def psnr_1010102(a, b) -> float:
+    mse = np.mean([np.mean((((a >> s) & 0x3FF).astype(np.float64)
+                            - ((b >> s) & 0x3FF).astype(np.float64)) ** 2)
+                   for s in (0, 10, 20)])
+    return 10 * np.log10(1023.0 ** 2 / max(mse, 1e-12))
 
 
 def ref_probe_accepts(lib, data: bytes) -> bool:
@@ -108,10 +179,52 @@ def make_seed() -> bytes:
     return JpegR(map_dimension_scale_factor=2).encode_api0(img, quality=85)
 
 
+def run_decode_differential(lib, execs: int, seed: int) -> int:
+    """Mutated-container decode oracle (the reference dec fuzzer,
+    fuzzer/ultrahdr_dec_fuzzer.cpp:31-60, upgraded with a second decoder):
+    on mutants BOTH decoders accept, HLG outputs must agree to >=40 dB
+    (both saw identical bitstreams; the floor allows engine rounding on
+    partially-valid streams).  Returns number of failures."""
+    from fuzz_parsers import mutate
+    rs = np.random.RandomState(seed)
+    corpus = [make_seed()]
+    cdir = HERE / "corpus" / "probe"
+    if cdir.is_dir():
+        corpus += [f.read_bytes() for f in sorted(cdir.iterdir())]
+    fails = both = 0
+    worst = 99.0
+    for i in range(execs):
+        data = corpus[0] if i == 0 else mutate(rs, corpus)
+        ref = ref_decode_hlg(lib, data)
+        ours, exc = our_decode_hlg(data)
+        if exc is not None:
+            fails += 1
+            (HERE / "crashes").mkdir(exist_ok=True)
+            (HERE / "crashes" / f"dec-crash-{i}").write_bytes(data)
+            print(f"DECODE CRASH on mutant {i}: {type(exc).__name__}: {exc}")
+            continue
+        if ref is None or ours is None or ref.shape != ours.shape:
+            continue
+        both += 1
+        p = psnr_1010102(ours, ref)
+        worst = min(worst, p)
+        if p < 40.0:
+            fails += 1
+            (HERE / "crashes").mkdir(exist_ok=True)
+            (HERE / "crashes" / f"dec-psnr-{i}").write_bytes(data)
+            print(f"DECODE DIVERGENCE on mutant {i}: {p:.1f} dB")
+    print(f"decode differential: {execs} execs, both-accepted={both}, "
+          f"worst PSNR={worst:.1f} dB, failures={fails}")
+    return fails
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--execs", type=int, default=2000)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--decode-execs", type=int, default=0,
+                    help="additionally run N full decode-differential "
+                         "execs (accept+PSNR oracle; slower per exec)")
     args = ap.parse_args()
     if not os.path.exists(LIB):
         print(f"reference {LIB} not built; skipping", file=sys.stderr)
@@ -147,10 +260,12 @@ def main():
 
     print(f"{args.execs} execs: agree={agree} ref-only={ref_only} "
           f"we-only={we_only} crashes={crashes}")
+    dec_fails = run_decode_differential(lib, args.decode_execs, args.seed) \
+        if args.decode_execs else 0
     # hard gates: no crashes, and nothing the reference accepts that we
     # reject (we may accept MORE: our parsers are deliberately tolerant of
     # e.g. redundant markers the reference's image_io scanner chokes on)
-    return 1 if (crashes or ref_only) else 0
+    return 1 if (crashes or ref_only or dec_fails) else 0
 
 
 if __name__ == "__main__":

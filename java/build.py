@@ -44,7 +44,8 @@ def find_java_home() -> pathlib.Path | None:
 def syntax_check() -> None:
     """Compile the JNI shim against the stub jni.h (no JDK required)."""
     subprocess.run(
-        ["g++", "-fsyntax-only", "-std=c++17", "-Wall", "-Werror",
+        [os.environ.get("UHDR_TPU_CXX", "g++"),
+         "-fsyntax-only", "-std=c++17", "-Wall", "-Werror",
          f"-I{_DIR / 'jni' / 'stub'}", f"-I{_REPO / 'capi'}",
          str(_DIR / "jni" / "uhdr_jni.cpp")],
         check=True)
@@ -70,7 +71,8 @@ def build(out: pathlib.Path) -> None:
         or next((java_home / "include").glob("darwin"),
                 java_home / "include")
     subprocess.run(
-        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+        [os.environ.get("UHDR_TPU_CXX", "g++"),
+         "-O2", "-shared", "-fPIC", "-std=c++17",
          str(_DIR / "jni" / "uhdr_jni.cpp"),
          f"-I{java_home / 'include'}", f"-I{plat_inc}",
          f"-I{_REPO / 'capi'}",

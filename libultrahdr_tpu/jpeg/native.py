@@ -1,6 +1,7 @@
 """Build + ctypes bindings for the native entropy codec.
 
-Compiles jpeg_entropy.cpp with g++ on first use (cached by source hash under
+Compiles jpeg_entropy.cpp with the system C++ compiler on first use
+(UHDR_TPU_CXX, default g++; cached by source+compiler hash under
 ~/.cache/libultrahdr_tpu).  A pure-numpy fallback is intentionally absent:
 the native toolchain is a hard dependency of this framework's runtime, like
 libjpeg is for the reference.
@@ -23,8 +24,14 @@ _LOCK = threading.Lock()
 _LIB = None
 
 
+def cxx() -> str:
+    """C++ compiler for the self-building natives (CI's clang configs set
+    UHDR_TPU_CXX=clang++, cf. reference cmake_linux.yml clang rows)."""
+    return os.environ.get("UHDR_TPU_CXX", "g++")
+
+
 def _build() -> pathlib.Path:
-    blob = b"".join(s.read_bytes() for s in _SRCS)
+    blob = b"".join(s.read_bytes() for s in _SRCS) + cxx().encode()
     tag = hashlib.sha256(blob).hexdigest()[:16]
     cache = pathlib.Path(os.environ.get(
         "UHDR_TPU_CACHE", os.path.expanduser("~/.cache/libultrahdr_tpu")))
@@ -42,7 +49,7 @@ def _build() -> pathlib.Path:
                   "-fno-sanitize-recover=all"] if sanitize
                  else ["-O3", "-march=native", "-fno-math-errno"])
         subprocess.run(
-            ["g++", *flags, "-shared", "-fPIC", "-std=c++17"]
+            [cxx(), *flags, "-shared", "-fPIC", "-std=c++17"]
             + [str(s) for s in _SRCS] + ["-o", str(tmp)],
             check=True, capture_output=True)
         os.replace(tmp, so)
