@@ -29,5 +29,29 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
-        "slow: heavy e2e / fuzz / sanitizer tiers. Smoke tier: "
-        "pytest -m 'not slow' (~fast); full tier: plain pytest.")
+        "slow: heavy e2e / fuzz / sanitizer tiers. Mid tier: "
+        "pytest -m 'not slow'; full tier: plain pytest.")
+    config.addinivalue_line(
+        "markers",
+        "smoke: <2-minute tier (pytest -m smoke): fast pure-logic "
+        "modules + one tiny e2e; run it every session.")
+
+
+# ---------------------------------------------------------------------------
+# smoke tier: `pytest -m smoke` must finish <2 min on a 1-core host (the
+# full-suite gate is too slow to run every session; VERDICT r3 item 5).
+# Modules here are the fast pure-logic tiers plus one tiny e2e
+# (test_smoke_e2e.py); everything heavier stays in the full/slow tiers.
+_SMOKE_MODULES = {
+    "test_container", "test_colors", "test_agtm", "test_ops",
+    "test_golden_anchors", "test_smoke_e2e",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest as _pytest
+    for item in items:
+        if item.module.__name__ in _SMOKE_MODULES:
+            item.add_marker(_pytest.mark.smoke)
+
+
