@@ -856,3 +856,193 @@ extern "C" int uhdr_apply_gainmap_host(
   delete L;
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Fused fancy-upsample + YCbCr->packed-RGBA8888 for the SDR/base decode
+// (the reference's SRGB output, jpegdecoderhelper.cpp DECODE_TO_RGB_CS):
+// libjpeg jdsample.c h2v2/h2v1/h1v2 fancy (triangular) chroma upsample and
+// jdcolor.c fixed-point conversion (kYcc tables above), emitting the
+// library's packed little-endian RGBA (R lowest byte, A=255).  Bit-exact
+// twin of decoder.py _ycc_to_rgb_np, SIMD'd: the vertical 3:1 blend and
+// the horizontal (3*cs[c] + cs[c +- 1] + bias) >> sh run 16-wide in i16
+// lanes; the color convert runs 8-wide in i32 lanes.
+//
+// sampling: 0=444, 1=420(h2v2), 2=422(h2v1), 3=440(h1v2),
+//           4=411(1:4 int replication), 5=410(2x4 int replication).
+
+namespace {
+
+// out[2c]   = (3*cs[c] + cs[c-1] + be) >> sh
+// out[2c+1] = (3*cs[c] + cs[c+1] + bo) >> sh     (cs: u16 column sums)
+void h_fancy_row(const uint16_t* cs, int64_t cw, int64_t out_w,
+                 int be, int bo, int sh, uint8_t* out) {
+  int64_t c = 0;
+#if defined(__AVX2__)
+  const __m256i vbe = _mm256_set1_epi16((short)be);
+  const __m256i vbo = _mm256_set1_epi16((short)bo);
+  const __m256i v3 = _mm256_set1_epi16(3);
+  if (cw > 1) {                     // c=0 scalar (left edge clamps)
+    out[0] = (uint8_t)((3 * cs[0] + cs[0] + be) >> sh);
+    if (out_w > 1) out[1] = (uint8_t)((3 * cs[0] + cs[1] + bo) >> sh);
+    c = 1;
+  }
+  // vector body needs cs[c-1] (>=0 from c=1) and cs[c+16] (< cw)
+  for (; c + 17 <= cw; c += 16) {
+    __m256i cur = _mm256_loadu_si256((const __m256i*)(cs + c));
+    __m256i left = _mm256_loadu_si256((const __m256i*)(cs + c - 1));
+    __m256i right = _mm256_loadu_si256((const __m256i*)(cs + c + 1));
+    __m256i t3 = _mm256_mullo_epi16(cur, v3);
+    __m256i e = _mm256_srl_epi16(_mm256_add_epi16(_mm256_add_epi16(t3, left),
+                                                  vbe),
+                                 _mm_cvtsi32_si128(sh));
+    __m256i o = _mm256_srl_epi16(_mm256_add_epi16(_mm256_add_epi16(t3, right),
+                                                  vbo),
+                                 _mm_cvtsi32_si128(sh));
+    // interleave e/o pairs: out bytes [e0,o0,e1,o1,...].  packus works
+    // per 128-bit lane, which recombines unpacklo/unpackhi into exactly
+    // byte order e0o0..e7o7 | e8o8..e15o15.
+    __m256i lo = _mm256_unpacklo_epi16(e, o);   // pairs 0-3 / 8-11
+    __m256i hi = _mm256_unpackhi_epi16(e, o);   // pairs 4-7 / 12-15
+    __m256i p = _mm256_packus_epi16(lo, hi);
+    if (2 * c + 32 <= out_w) {
+      _mm256_storeu_si256((__m256i*)(out + 2 * c), p);
+    } else {
+      alignas(32) uint8_t tmp[32];
+      _mm256_store_si256((__m256i*)tmp, p);
+      memcpy(out + 2 * c, tmp, (size_t)(out_w - 2 * c));
+    }
+  }
+#endif
+  for (; c < cw; c++) {
+    int32_t t3 = 3 * cs[c];
+    int32_t left = cs[c > 0 ? c - 1 : 0];
+    int32_t right = cs[c + 1 < cw ? c + 1 : cw - 1];
+    if (2 * c < out_w) out[2 * c] = (uint8_t)((t3 + left + be) >> sh);
+    if (2 * c + 1 < out_w) out[2 * c + 1] = (uint8_t)((t3 + right + bo) >> sh);
+  }
+}
+
+// column sums 3*near + far into a u16 row buffer (h2v2 vertical stage)
+void v_sums_row(const uint8_t* nearr, const uint8_t* farr, int64_t cw,
+                uint16_t* cs) {
+  int64_t c = 0;
+#if defined(__AVX2__)
+  const __m256i v3 = _mm256_set1_epi16(3);
+  for (; c + 16 <= cw; c += 16) {
+    __m256i n = _mm256_cvtepu8_epi16(
+        _mm_loadu_si128((const __m128i*)(nearr + c)));
+    __m256i f = _mm256_cvtepu8_epi16(
+        _mm_loadu_si128((const __m128i*)(farr + c)));
+    _mm256_storeu_si256((__m256i*)(cs + c),
+                        _mm256_add_epi16(_mm256_mullo_epi16(n, v3), f));
+  }
+#endif
+  for (; c < cw; c++) cs[c] = (uint16_t)(3 * nearr[c] + farr[c]);
+}
+
+}  // namespace
+
+extern "C" void uhdr_ycc_to_rgba32(const uint8_t* y, int64_t y_stride,
+                                   const uint8_t* cb, const uint8_t* cr,
+                                   int64_t c_stride, int64_t cw, int64_t ch,
+                                   int64_t w, int64_t h, int sampling,
+                                   uint32_t* out) {
+  std::vector<uint8_t> cbu((size_t)w), cru((size_t)w);
+  std::vector<uint16_t> cs((size_t)cw + 2);
+  for (int64_t r = 0; r < h; r++) {
+    const uint8_t* yr = y + r * y_stride;
+    uint8_t* ub = cbu.data();
+    uint8_t* vb = cru.data();
+    for (int plane = 0; plane < 2; plane++) {
+      const uint8_t* cp = plane ? cr : cb;
+      uint8_t* dst = plane ? vb : ub;
+      if (sampling == 0) {                     // 444
+        dst = nullptr;                         // direct row below
+      } else if (sampling == 1) {              // 420 h2v2 fancy
+        int64_t crow = r >> 1;
+        int64_t farrow = (r & 1) ? crow + 1 : crow - 1;
+        if (farrow < 0) farrow = 0;
+        if (farrow >= ch) farrow = ch - 1;
+        v_sums_row(cp + crow * c_stride, cp + farrow * c_stride, cw,
+                   cs.data());
+        h_fancy_row(cs.data(), cw, w, 8, 7, 4, dst);
+      } else if (sampling == 2) {              // 422 h2v1 fancy
+        const uint8_t* src = cp + r * c_stride;
+        for (int64_t c = 0; c < cw; c++) cs[(size_t)c] = src[c];
+        h_fancy_row(cs.data(), cw, w, 1, 2, 2, dst);
+      } else if (sampling == 3) {              // 440 h1v2 fancy (turbo)
+        int64_t crow = r >> 1;
+        int64_t farrow = (r & 1) ? crow + 1 : crow - 1;
+        if (farrow < 0) farrow = 0;
+        if (farrow >= ch) farrow = ch - 1;
+        const uint8_t* nearr = cp + crow * c_stride;
+        const uint8_t* farr = cp + farrow * c_stride;
+        int bias = (r & 1) ? 2 : 1;
+        for (int64_t c = 0; c < w; c++)
+          dst[c] = (uint8_t)((3 * nearr[c] + farr[c] + bias) >> 2);
+      } else if (sampling == 4) {              // 411: 1:4 replication
+        const uint8_t* src = cp + r * c_stride;
+        for (int64_t c = 0; c < w; c++) dst[c] = src[c >> 2];
+      } else {                                 // 410: 2x4 replication
+        const uint8_t* src = cp + (r >> 1) * c_stride;
+        for (int64_t c = 0; c < w; c++) dst[c] = src[c >> 2];
+      }
+    }
+    const uint8_t* ur = sampling == 0 ? cb + r * c_stride : ub;
+    const uint8_t* vr = sampling == 0 ? cr + r * c_stride : vb;
+    uint32_t* o = out + r * w;
+    int64_t x = 0;
+#if defined(__AVX2__)
+    {
+      const __m256i c128 = _mm256_set1_epi32(128);
+      const __m256i kCrR = _mm256_set1_epi32(91881),
+                    kCbB = _mm256_set1_epi32(116130),
+                    kCrG = _mm256_set1_epi32(-46802),
+                    kCbG = _mm256_set1_epi32(-22554);
+      const __m256i half = _mm256_set1_epi32(32768);
+      const __m256i z = _mm256_setzero_si256(), m255 = _mm256_set1_epi32(255);
+      const __m256i alpha = _mm256_set1_epi32((int)0xFF000000u);
+      for (; x + 8 <= w; x += 8) {
+        __m256i yy = _mm256_cvtepu8_epi32(
+            _mm_loadl_epi64((const __m128i*)(yr + x)));
+        __m256i u = _mm256_sub_epi32(_mm256_cvtepu8_epi32(_mm_loadl_epi64(
+                                         (const __m128i*)(ur + x))),
+                                     c128);
+        __m256i v = _mm256_sub_epi32(_mm256_cvtepu8_epi32(_mm_loadl_epi64(
+                                         (const __m128i*)(vr + x))),
+                                     c128);
+        __m256i pr = _mm256_add_epi32(
+            yy, _mm256_srai_epi32(
+                    _mm256_add_epi32(_mm256_mullo_epi32(kCrR, v), half), 16));
+        __m256i pg = _mm256_add_epi32(
+            yy, _mm256_srai_epi32(
+                    _mm256_add_epi32(
+                        _mm256_add_epi32(_mm256_mullo_epi32(kCbG, u), half),
+                        _mm256_mullo_epi32(kCrG, v)),
+                    16));
+        __m256i pb = _mm256_add_epi32(
+            yy, _mm256_srai_epi32(
+                    _mm256_add_epi32(_mm256_mullo_epi32(kCbB, u), half), 16));
+        pr = _mm256_min_epi32(_mm256_max_epi32(pr, z), m255);
+        pg = _mm256_min_epi32(_mm256_max_epi32(pg, z), m255);
+        pb = _mm256_min_epi32(_mm256_max_epi32(pb, z), m255);
+        __m256i px = _mm256_or_si256(
+            _mm256_or_si256(pr, _mm256_slli_epi32(pg, 8)),
+            _mm256_or_si256(_mm256_slli_epi32(pb, 16), alpha));
+        _mm256_storeu_si256((__m256i*)(o + x), px);
+      }
+    }
+#endif
+    for (; x < w; x++) {
+      int32_t yy = yr[x];
+      int pr = yy + kYcc.cr_r[vr[x]];
+      int pg = yy + ((kYcc.cb_g[ur[x]] + kYcc.cr_g[vr[x]]) >> 16);
+      int pb = yy + kYcc.cb_b[ur[x]];
+      pr = pr < 0 ? 0 : (pr > 255 ? 255 : pr);
+      pg = pg < 0 ? 0 : (pg > 255 ? 255 : pg);
+      pb = pb < 0 ? 0 : (pb > 255 ? 255 : pb);
+      o[x] = (uint32_t)pr | ((uint32_t)pg << 8) | ((uint32_t)pb << 16)
+             | 0xFF000000u;
+    }
+  }
+}

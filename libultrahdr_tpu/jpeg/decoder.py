@@ -473,11 +473,13 @@ def decode_to_rgba(data: bytes, info: JpegInfo | None = None,
            ImgFmt.YUV420: "420", ImgFmt.YUV411: "411",
            ImgFmt.YUV410: "410"}[fmt]
     if engine == "host":
-        rgb = _ycc_to_rgb_np(planes[0], planes[1], planes[2], key, h, w)
-    else:
-        rgb = np.asarray(_ycc_to_rgb(
-            jnp.asarray(planes[0]), jnp.asarray(planes[1]),
-            jnp.asarray(planes[2]), key, h, w))
+        # native fused upsample+convert (SIMD, bit-identical to the numpy
+        # twin — both are exact libjpeg integer math)
+        return native.ycc_to_rgba32(planes[0][:h], planes[1], planes[2],
+                                    key, h, w)
+    rgb = np.asarray(_ycc_to_rgb(
+        jnp.asarray(planes[0]), jnp.asarray(planes[1]),
+        jnp.asarray(planes[2]), key, h, w))
     packed = (rgb[0].astype(np.uint32) | (rgb[1].astype(np.uint32) << 8)
               | (rgb[2].astype(np.uint32) << 16) | np.uint32(0xFF000000))
     return packed

@@ -148,8 +148,35 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p]
+            lib.uhdr_ycc_to_rgba32.restype = None
+            lib.uhdr_ycc_to_rgba32.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_void_p]
             _LIB = lib
     return _LIB
+
+
+_SAMPLING_CODE = {"444": 0, "420": 1, "422": 2, "440": 3, "411": 4,
+                  "410": 5}
+
+
+def ycc_to_rgba32(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                  fmt_key: str, h: int, w: int) -> np.ndarray:
+    """Fused libjpeg fancy upsample + jdcolor fixed point -> packed
+    RGBA8888 (h, w) uint32 (bit-exact twin of decoder._ycc_to_rgb_np,
+    SIMD'd in host_decode.cpp uhdr_ycc_to_rgba32)."""
+    lib = get_lib()
+    y = np.ascontiguousarray(y, np.uint8)
+    cb = np.ascontiguousarray(cb, np.uint8)
+    cr = np.ascontiguousarray(cr, np.uint8)
+    ch_, cw_ = cb.shape
+    out = np.empty((h, w), np.uint32)
+    lib.uhdr_ycc_to_rgba32(
+        y.ctypes.data, y.shape[1], cb.ctypes.data, cr.ctypes.data, cw_,
+        cw_, ch_, w, h, _SAMPLING_CODE[fmt_key], out.ctypes.data)
+    return out
 
 
 def ycbcr_to_rgb_planar(y: np.ndarray, cb: np.ndarray,
