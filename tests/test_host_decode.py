@@ -138,3 +138,27 @@ def test_decode_host_scale1_gamma(gamma, multichannel):
     for s in (0, 10, 20):
         psnr = _psnr10(pd, ph, s)
         assert psnr >= 55.0, f"gamma {gamma} mc {multichannel} ch {s}: {psnr:.1f} dB"
+
+
+def test_native_ycc_to_rgba32_matches_numpy_twin():
+    """uhdr_ycc_to_rgba32 (SIMD fused fancy upsample + jdcolor convert)
+    is bit-identical to decoder._ycc_to_rgb_np for every sampling and
+    odd-size edge case."""
+    from libultrahdr_tpu.jpeg import decoder, native
+
+    rs = np.random.RandomState(1)
+    for key, (cwd, chd) in [("444", (1, 1)), ("420", (2, 2)),
+                            ("422", (2, 1)), ("440", (1, 2)),
+                            ("411", (4, 1)), ("410", (4, 2))]:
+        for (h, w) in [(64, 96), (31, 49), (8, 8), (17, 254), (2, 2)]:
+            cw, ch = -(-w // cwd), -(-h // chd)
+            y = rs.randint(0, 256, (h, w)).astype(np.uint8)
+            cb = rs.randint(0, 256, (ch, cw)).astype(np.uint8)
+            cr = rs.randint(0, 256, (ch, cw)).astype(np.uint8)
+            ref = decoder._ycc_to_rgb_np(y, cb, cr, key, h, w)
+            refp = (ref[0].astype(np.uint32)
+                    | (ref[1].astype(np.uint32) << 8)
+                    | (ref[2].astype(np.uint32) << 16)
+                    | np.uint32(0xFF000000))
+            got = native.ycc_to_rgba32(y, cb, cr, key, h, w)
+            np.testing.assert_array_equal(got, refp, err_msg=f"{key} {h}x{w}")
