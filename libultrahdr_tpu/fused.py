@@ -448,7 +448,7 @@ def pack_rgb_wire(plane: np.ndarray, fmt: ImgFmt, bits: int):
     alpha -> raw upload)."""
     if fmt == ImgFmt.RGBA1010102:
         p = np.ascontiguousarray(plane)
-        chans = [((p >> s) & 1023).astype(np.uint16) for s in (0, 10, 20)]
+        chans = [native.extract_channel10(p, s) for s in (0, 10, 20)]
         alpha = (p >> 30) & 3
     else:
         comp = np.ascontiguousarray(plane)

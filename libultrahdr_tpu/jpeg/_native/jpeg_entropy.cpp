@@ -1028,3 +1028,28 @@ int64_t uhdr_decode_progressive_scan(
 }
 
 }  // extern "C"
+
+// Extract one 10-bit channel of packed RGBA1010102 into u16 samples
+// (the RGB upload wire's channel split; numpy's shift-and costs ~60 ms
+// per 12 MP channel, this runs at memory speed).
+extern "C" void uhdr_extract_channel10(const uint32_t* in, int64_t n,
+                                       int shift, uint16_t* out) {
+  int64_t i = 0;
+#if defined(__AVX2__)
+  const __m256i m = _mm256_set1_epi32(1023);
+  const __m128i sh = _mm_cvtsi32_si128(shift);
+  for (; i + 16 <= n; i += 16) {
+    __m256i a = _mm256_and_si256(
+        _mm256_srl_epi32(_mm256_loadu_si256((const __m256i*)(in + i)), sh),
+        m);
+    __m256i b = _mm256_and_si256(
+        _mm256_srl_epi32(
+            _mm256_loadu_si256((const __m256i*)(in + i + 8)), sh),
+        m);
+    // packus works per 128-lane; permute4x64 restores sample order
+    __m256i p = _mm256_permute4x64_epi64(_mm256_packus_epi32(a, b), 0xD8);
+    _mm256_storeu_si256((__m256i*)(out + i), p);
+  }
+#endif
+  for (; i < n; i++) out[i] = (uint16_t)((in[i] >> shift) & 1023u);
+}

@@ -154,8 +154,23 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int, ctypes.c_void_p]
+            lib.uhdr_extract_channel10.restype = None
+            lib.uhdr_extract_channel10.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_void_p]
             _LIB = lib
     return _LIB
+
+
+def extract_channel10(plane_u32: np.ndarray, shift: int) -> np.ndarray:
+    """((plane >> shift) & 1023) as u16, SIMD (RGBA1010102 channel split
+    for the RGB upload wire)."""
+    lib = get_lib()
+    p = np.ascontiguousarray(plane_u32, np.uint32)
+    out = np.empty(p.shape, np.uint16)
+    lib.uhdr_extract_channel10(p.ctypes.data, p.size, shift,
+                               out.ctypes.data)
+    return out
 
 
 _SAMPLING_CODE = {"444": 0, "420": 1, "422": 2, "440": 3, "411": 4,
