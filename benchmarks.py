@@ -350,6 +350,17 @@ def main(argv=None):
                 "measured_cpu_this_host": "BASELINE.md (12MP api0 encode "
                                           "2.720 MP/s, 4K decode 8.210 MP/s)",
             },
+            "row_notes": {
+                "(public api)": "UhdrDecoder engine routing — what a "
+                                "library user gets",
+                "(host)": "native SIMD host engine, pinned",
+                "(device-resident)": "decode_to_device: output stays in "
+                                     "HBM (TPU-serving contract)",
+                "(device)": "UNROUTED diagnostic: device decode + full "
+                            "raster download over the host link; the "
+                            "public API never routes host-memory output "
+                            "this way (see the public api rows)",
+            },
             "rows": [{"config": n, "ms": round(dt * 1e3, 1),
                       "mp_per_s": round(mpps, 2)} for n, dt, mpps in rows],
         }

@@ -191,10 +191,23 @@ def run_decode_differential(lib, execs: int, seed: int) -> int:
     cdir = HERE / "corpus" / "probe"
     if cdir.is_dir():
         corpus += [f.read_bytes() for f in sorted(cdir.iterdir())]
+
+    def light_mutant():
+        # single-byte corruption past the headers: usually still decodes
+        # in both decoders, which is where the PSNR oracle has teeth
+        # (full mutate() mostly produces rejects)
+        d = bytearray(corpus[rs.randint(len(corpus))])
+        if len(d) < 700:
+            return bytes(d)
+        for _ in range(rs.randint(1, 4)):
+            d[rs.randint(600, len(d) - 2)] ^= 1 << rs.randint(8)
+        return bytes(d)
+
     fails = both = 0
     worst = 99.0
     for i in range(execs):
-        data = corpus[0] if i == 0 else mutate(rs, corpus)
+        data = corpus[0] if i == 0 else (
+            light_mutant() if i % 2 else mutate(rs, corpus))
         ref = ref_decode_hlg(lib, data)
         ours, exc = our_decode_hlg(data)
         if exc is not None:

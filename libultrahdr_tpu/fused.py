@@ -511,6 +511,79 @@ def _fused_api0_rgb_wire(buf, *, fmt: ImgFmt, h: int, w: int,
                            use_base_cg=use_base_cg)
 
 
+# v2 RGB wire: ONE buffer PER CHANNEL, each on its own (lowest fitting)
+# rung, shipped the moment it is packed so channel i rides the link while
+# channel i+1 packs — and a noisy channel no longer drags the smooth ones
+# onto its wide rung.  Alpha is a static arg (constant per image; packed
+# formats are opaque in practice, so one compiled program serves all).
+
+def _rgb_chan_layout(h: int, w: int, bits: int):
+    nw = -(-(h * w) // 32) * bits
+    return (nw, nw + _RGB_ESC, nw + 2 * _RGB_ESC)
+
+
+def pack_rgb_chan(ch: np.ndarray, bits: int):
+    """(h, w) u16 channel -> u32 wire buffer, or None on escape
+    overflow."""
+    h, w = ch.shape
+    o = _rgb_chan_layout(h, w, bits)
+    buf = np.empty(o[-1], np.uint32)
+    ok = native.pack_delta_g_into(
+        ch, buf[:o[0]].reshape(-1, bits),
+        buf[o[0]:o[1]].view(np.int32), buf[o[1]:o[2]].view(np.int32),
+        two_d=True, bits=bits, shift=0, base=512)
+    return buf if ok else None
+
+
+def _split_rgb_channels(plane: np.ndarray, fmt: ImgFmt):
+    """(3 channel u16 arrays, alpha scalar or None if varying)."""
+    if fmt == ImgFmt.RGBA1010102:
+        p = np.ascontiguousarray(plane)
+        chans = [native.extract_channel10(p, s) for s in (0, 10, 20)]
+        alpha = (p >> 30) & 3
+    else:
+        comp = np.ascontiguousarray(plane)
+        if comp.dtype == np.float16:
+            comp = comp.view(np.uint16)
+        chans = [np.ascontiguousarray(comp[..., i]) for i in range(3)]
+        alpha = comp[..., 3]
+    a0 = alpha.flat[0]
+    if not np.all(alpha == a0):
+        return chans, None
+    return chans, int(a0)
+
+
+def _decode_rgb_chan(buf, h: int, w: int, bits: int):
+    o = _rgb_chan_layout(h, w, bits)
+    ei = jax.lax.bitcast_convert_type(buf[o[0]:o[1]], jnp.int32)
+    ev = jax.lax.bitcast_convert_type(buf[o[1]:o[2]], jnp.int32)
+    return _delta_decode_plane(buf[:o[0]].reshape(-1, bits), ei, ev, h, w,
+                               False, bits, True, base=512, shift=0)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fmt", "h", "w", "cg", "ct", "scale", "multichannel", "gamma",
+    "quality", "map_quality", "use_base_cg", "bits3", "alpha"))
+def _fused_api0_rgb_wire_v2(b0, b1, b2, *, fmt: ImgFmt, h: int, w: int,
+                            cg: ColorGamut, ct: ColorTransfer, scale: int,
+                            multichannel: bool, gamma: float, quality: int,
+                            map_quality: int, use_base_cg: bool,
+                            bits3: tuple, alpha: int):
+    chans = [_decode_rgb_chan(b, h, w, bits)
+             for b, bits in zip((b0, b1, b2), bits3)]
+    if fmt == ImgFmt.RGBA1010102:
+        r, g, b = [c.astype(jnp.uint32) for c in chans]
+        packed = r | (g << 10) | (b << 20) | jnp.uint32(alpha << 30)
+    else:
+        a16 = jnp.full((h, w), np.uint16(alpha), jnp.uint16)
+        packed = jnp.stack([chans[0], chans[1], chans[2], a16], axis=-1)
+    return _fused_api0_rgb(packed, fmt=fmt, h=h, w=w, cg=cg, ct=ct,
+                           scale=scale, multichannel=multichannel,
+                           gamma=gamma, quality=quality,
+                           map_quality=map_quality,
+                           use_base_cg=use_base_cg)
+
+
 # ---------------------------------------------------------------------------
 # API-1 upload wire: HDR P010 + SDR YUV420 travel as 2D-delta bit-sliced
 # planes in ONE u32 buffer (five planes, one h2d transfer; the tunnel link
@@ -1726,13 +1799,27 @@ def encode_api0_rgb_fused(jr, img, quality: int, exif: bytes | None) -> bytes:
                   quality=int(quality),
                   map_quality=jr.map_compress_quality,
                   use_base_cg=use_base_cg)
+    # v2 wire: per-channel rungs, each channel's buffer dispatched to the
+    # link the moment it is packed (transfer overlaps the next channel's
+    # pack); a noisy channel rides a wider rung alone instead of dragging
+    # all three.  Varying alpha or all-rung overflow -> raw upload.
     out = None
-    for bits in _RGB_LADDERS[fmt]:        # smallest wire that fits wins
-        wire = pack_rgb_wire(plane, fmt, bits)
-        if wire is not None:
-            out = _fused_api0_rgb_wire(jnp.asarray(wire), wire_bits=bits,
-                                       **common)
-            break
+    chans, alpha = _split_rgb_channels(plane, fmt)
+    if alpha is not None:
+        bufs, bits3 = [], []
+        for ch in chans:
+            buf = None
+            for bits in _RGB_LADDERS[fmt]:
+                buf = pack_rgb_chan(ch, bits)
+                if buf is not None:
+                    bits3.append(bits)
+                    break
+            if buf is None:
+                break
+            bufs.append(jax.device_put(buf))    # async: rides the link now
+        if len(bufs) == 3:
+            out = _fused_api0_rgb_wire_v2(
+                *bufs, bits3=tuple(bits3), alpha=alpha, **common)
     if out is None:                       # raw upload fallback
         out = _fused_api0_rgb(jnp.asarray(plane), **common)
     base_words, base_blen_d, gm_words, gm_blen_d = out

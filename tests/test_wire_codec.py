@@ -171,14 +171,50 @@ def _rgbaf16_img(seed=41):
 
 @pytest.mark.parametrize("make_img", [_rgba1010102_img, _rgbaf16_img])
 def test_rgb_wire_byte_invisible(monkeypatch, make_img):
-    """RGB-input uploads through the delta wire produce byte-identical
-    JPEG_R files to the raw upload path."""
+    """RGB-input uploads through the per-channel delta wire produce
+    byte-identical JPEG_R files to the raw upload path."""
     img = make_img()
     jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
                preset=EncPreset.REALTIME)
     via_wire = jr.encode_api0(img, quality=92)
-    monkeypatch.setattr(fused, "pack_rgb_wire", lambda *a, **k: None)
+    monkeypatch.setattr(fused, "pack_rgb_chan", lambda *a, **k: None)
     via_raw = jr.encode_api0(img, quality=92)
+    assert via_wire == via_raw
+
+
+@pytest.mark.parametrize("bits", [2, 3, 4, 6])
+def test_rgb_chan_wire_roundtrip(bits):
+    """v2 per-channel wire (pack_rgb_chan -> _decode_rgb_chan) is
+    lossless at every rung."""
+    ch = _gentle_base(2.0 ** (bits - 1) - 1, seed=47).astype(np.uint16)
+    buf = fused.pack_rgb_chan(ch, bits)
+    assert buf is not None
+    out = fused._decode_rgb_chan(jnp.asarray(buf), H, W, bits)
+    np.testing.assert_array_equal(np.asarray(out), ch)
+
+
+def test_rgb_wire_v2_mixed_rungs():
+    """A noisy channel rides a wider rung without dragging the smooth
+    channels (and the encode stays byte-identical to raw upload)."""
+    rs = np.random.RandomState(9)
+    base = _gentle_base(1.0, seed=48).astype(np.uint32)
+    noisy = np.clip(base + rs.randint(-6, 7, base.shape), 0, 1023
+                    ).astype(np.uint32)
+    p = np.ascontiguousarray(
+        base | (noisy << 10) | ((1023 - base) << 20) | np.uint32(0x3) << 30)
+    img = RawImage(ImgFmt.RGBA1010102, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, W, H, [p])
+    chans, alpha = fused._split_rgb_channels(p, ImgFmt.RGBA1010102)
+    assert alpha == 3
+    assert fused.pack_rgb_chan(chans[0], 2) is not None
+    assert fused.pack_rgb_chan(chans[1], 2) is None      # noisy overflows
+    assert fused.pack_rgb_chan(chans[1], 6) is not None
+    jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
+               preset=EncPreset.REALTIME)
+    via_wire = jr.encode_api0(img, quality=92)
+    import unittest.mock as mock
+    with mock.patch.object(fused, "pack_rgb_chan", lambda *a, **k: None):
+        via_raw = jr.encode_api0(img, quality=92)
     assert via_wire == via_raw
 
 
