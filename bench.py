@@ -204,7 +204,12 @@ def main():
     # 12-60 MB/s swings, not the build)
     enc_norm_mpps = None
     if wire is not None and h2d > 1.0:
-        t_norm = enc_best - wire.nbytes / (h2d * 1e6) \
+        # the probe can be stale vs the moment the encode actually ran
+        # (it is measured minutes earlier); the encode itself lower-bounds
+        # the link at wire_bytes/enc_best, so use whichever is larger —
+        # at that bound the estimate assumes a fully upload-bound pipeline
+        eff = max(h2d, wire.nbytes / enc_best / 1e6)
+        t_norm = enc_best - wire.nbytes / (eff * 1e6) \
             + wire.nbytes / (LINK_NOMINAL_MBPS * 1e6)
         if t_norm > 0:
             enc_norm_mpps = W * H / 1e6 / t_norm
