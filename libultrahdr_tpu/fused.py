@@ -1102,7 +1102,7 @@ def _sparse_esc(n_ac: int) -> int:
     return max(2048, -(-n_ac // 1024 // 2048) * 2048)
 
 
-def _pack_sparse_one(c, pct: int) -> bytes | None:
+def _pack_sparse_one(c, pct: int, epct: int | None = None) -> bytes | None:
     """One plane of the sparse coefficient wire (see pack_coeff_wire_best):
     nonzero ACs are the exception, not the rule (quantization at q95
     zeroes >90% of them), so spend 1 bit/sample on an occupancy mask and
@@ -1111,7 +1111,9 @@ def _pack_sparse_one(c, pct: int) -> bytes | None:
     [dc i16][mask u32, bit i of word g = (ac[32g+i] != 0)][vals i8 x cap]
     [esc_idx i32][esc_val i16] (escapes index the COMPACTED value array).
     None when the nonzeros exceed the cap (dense plane; caller tries the
-    bit-slice rungs next)."""
+    bit-slice rungs next).  `epct` widens the escape capacity to a pct of
+    samples (the "sr" rung: dense-ish planes with many |v| > 127, e.g. a
+    photographic Y at q95)."""
     a = np.asarray(c)
     dc = np.ascontiguousarray(a[..., 0], np.int16)
     ac = np.ascontiguousarray(a[..., 1:], np.int16).reshape(-1)
@@ -1121,7 +1123,7 @@ def _pack_sparse_one(c, pct: int) -> bytes | None:
     if v.size > cap:
         return None
     esc = (v < -128) | (v > 127)
-    ecap = _sparse_esc(ac.size)
+    ecap = _sparse_cap(ac.size, epct) if epct else _sparse_esc(ac.size)
     eidx = np.flatnonzero(esc).astype(np.int32)
     if eidx.size > ecap:
         return None
@@ -1138,6 +1140,119 @@ def _pack_sparse_one(c, pct: int) -> bytes | None:
                      esc_idx.tobytes(), esc_val.tobytes()])
 
 
+def _blk_cap(n_blocks: int, pct: int) -> int:
+    """Occupied-block capacity of the two-level sparse wire: pct% of
+    blocks, 512-aligned (static per plane shape)."""
+    return max(512, -(-(n_blocks * pct // 100) // 512) * 512)
+
+
+def _pack_twolevel_one(c, bpct: int, vpct: int) -> bytes | None:
+    """One plane of the TWO-LEVEL sparse coefficient wire ("ta"/"tb"/"tc"
+    rungs): at q95 most 8x8 blocks carry NO nonzero AC at all (measured
+    4.7% occupied on the reference's photographic fixture mosaic Y), so a
+    full 1-bit-per-sample mask is itself mostly padding.  Spend 1 bit per
+    BLOCK on an occupancy mask and ship 63-bit sample masks only for the
+    occupied blocks, compacted to a static bpct% block cap; values ride
+    the same compacted array as the flat sparse wire at a tighter vpct%
+    cap.  Layout: [dc i16][block-occupancy u32][block masks u32x2 per
+    occupied slot][vals i8 x vcap][esc_idx i32][esc_val i16] (escapes
+    index the COMPACTED value array).  None when blocks/values/escapes
+    overflow their caps (denser plane; caller falls to the flat rungs)."""
+    a = np.asarray(c)
+    dc = np.ascontiguousarray(a[..., 0], np.int16)
+    nzb = (a[..., 1:] != 0).reshape(-1, 63)
+    occ = nzb.any(axis=1)
+    n = occ.size
+    n_ac = n * 63
+    bcap = _blk_cap(n, bpct)
+    nocc = int(occ.sum())
+    if nocc > bcap:
+        return None
+    ac = np.ascontiguousarray(a[..., 1:], np.int16).reshape(-1)
+    v = ac[ac != 0]
+    vcap = _sparse_cap(n_ac, vpct)
+    if v.size > vcap:
+        return None
+    esc = (v < -128) | (v > 127)
+    ecap = _sparse_esc(n_ac)
+    eidx = np.flatnonzero(esc).astype(np.int32)
+    if eidx.size > ecap:
+        return None
+    gb = -(-n // 32)
+    occ_w = np.zeros(4 * gb, np.uint8)
+    occ_w[:(n + 7) // 8] = np.packbits(occ, bitorder="little")
+    bm = np.zeros((bcap, 8), np.uint8)
+    bm[:nocc] = np.packbits(nzb[occ], axis=1, bitorder="little")
+    vals = np.zeros(vcap, np.int8)
+    vals[:v.size] = np.clip(v, -128, 127).astype(np.int8)
+    esc_idx = np.full(ecap, 1 << 30, np.int32)
+    esc_val = np.zeros(ecap, np.int16)
+    esc_idx[:eidx.size] = eidx
+    esc_val[:eidx.size] = v[eidx]
+    return b"".join([dc.tobytes(), occ_w.tobytes(), bm.tobytes(),
+                     vals.tobytes(), esc_idx.tobytes(), esc_val.tobytes()])
+
+
+def _gap_entries(idx: np.ndarray) -> int:
+    """Entry count of the gap wire for sorted nonzero indices: one per
+    nonzero plus zero-valued dummy entries covering gaps > 255."""
+    if idx.size == 0:
+        return 0
+    gaps = np.diff(idx, prepend=np.int64(-1))
+    return int(idx.size + ((gaps - 1) // 255).sum())
+
+
+def _pack_gap_one(c, pct: int) -> bytes | None:
+    """One plane of the GAP-CODED SCATTER wire ("ga".."gd" rungs): ship
+    each nonzero AC as (u8 gap-to-previous-destination, i8 value), sorted
+    by destination.  The device reconstructs destinations with ONE cumsum
+    over the (small) entry array and SCATTERS the values into zeros —
+    ~10 ms/4K-plane vs ~110 ms for the occupancy-mask rungs' 8M-element
+    expand + rank + gather (measured; TPU gathers cost ~9 ns/element).
+    Gaps > 255 are bridged by zero-valued dummy entries (scattering 0
+    into a zero base is a no-op), so there are no gap escapes.  Layout:
+    [dc i16][gaps u8 x vcap][vals i8 x vcap][esc_idx i32][esc_val i16]
+    (escapes index the ENTRY array; padding entries keep gap 255 so their
+    destinations run off the end and drop).  None when entries (nonzeros
+    + dummies) overflow the pct% cap or escapes overflow."""
+    a = np.asarray(c)
+    dc = np.ascontiguousarray(a[..., 0], np.int16)
+    ac = np.ascontiguousarray(a[..., 1:], np.int16).reshape(-1)
+    n_ac = ac.size
+    idx = np.flatnonzero(ac)
+    v = ac[idx]
+    vcap = _sparse_cap(n_ac, pct)
+    gaps = np.diff(idx, prepend=np.int64(-1))
+    reps = 1 + (gaps - 1) // 255
+    tot = int(reps.sum())
+    if tot > vcap:
+        return None
+    esc = (v < -128) | (v > 127)
+    ecap = _sparse_esc(n_ac)
+    if int(esc.sum()) > ecap:
+        return None
+    last = np.cumsum(reps) - 1            # entry slot of each real value
+    gout = np.full(vcap, 255, np.uint8)   # dummies + padding: gap 255
+    gout[last] = (gaps - 255 * (reps - 1)).astype(np.uint8)
+    vout = np.zeros(vcap, np.int8)
+    vout[last] = np.clip(v, -128, 127).astype(np.int8)
+    esc_idx = np.full(ecap, 1 << 30, np.int32)
+    esc_val = np.zeros(ecap, np.int16)
+    ei = last[esc]
+    esc_idx[:ei.size] = ei
+    esc_val[:ei.size] = v[esc]
+    return b"".join([dc.tobytes(), gout.tobytes(), vout.tobytes(),
+                     esc_idx.tobytes(), esc_val.tobytes()])
+
+
+def _pack_i16_one(c) -> bytes:
+    """Terminal dense rung ("i16"): the whole (bh, bw, 64) plane as int16.
+    Always fits (T.81 quantized coefficients are 12-bit), so
+    pack_coeff_wire_best can never fail — a pathological plane rides one
+    coalesced (if wide) transfer instead of the legacy per-plane upload."""
+    return np.ascontiguousarray(np.asarray(c), np.int16).tobytes()
+
+
 def pack_coeff_wire_sparse(planes) -> bytes | None:
     """Uniform-kind sparse wire over all planes (12% cap); None when any
     plane is too dense.  pack_coeff_wire_best picks rungs per plane."""
@@ -1150,19 +1265,109 @@ def pack_coeff_wire_sparse(planes) -> bytes | None:
     return b"".join(parts)
 
 
-# per-plane packers, smallest wire first (sp ~2.1 bits/AC, sq ~3.2,
-# i3/i4/i5 bit slices, i8 dense bytes); first fit wins
-_PLANE_KINDS = ("sp", "sq", "i3", "i4", "i5", "i8")
+# per-plane rungs: gap-coded scatter (the preferred family — smallest AND
+# ~10x cheaper to unpack on device), two-level sparse (block occupancy +
+# sample masks for occupied blocks only), flat sparse (sp ~2.1 bits/AC,
+# sq ~3.2, sr dense-ish with a wide escape budget), i3/i4/i5 bit slices,
+# i8 dense bytes, i16 terminal (always fits)
+_GAP = {"ga": 2, "gb": 6, "gc": 13, "gd": 30}
+_TWOLEVEL = {"ta": (8, 2), "tb": (16, 4), "tc": (32, 8)}
+_SPARSE = {"sp": (12, None), "sq": (28, None), "sr": (44, 1)}
+_PLANE_KINDS = ("ga", "gb", "gc", "gd", "ta", "tb", "tc", "sp", "sq",
+                "i3", "i4", "i5", "sr", "i8", "i16")
+# rungs whose device unpack avoids the 8M-element rank + gather (scatter
+# or dense bitcast only); selection stays inside this set — the mask
+# rungs are never smaller by enough to buy back ~100 ms of device time
+_FAST_KINDS = ("ga", "gb", "gc", "gd", "i8", "i16")
 
 
 def _pack_plane(c, kind: str) -> bytes | None:
-    if kind == "sp":
-        return _pack_sparse_one(c, 12)
-    if kind == "sq":
-        return _pack_sparse_one(c, 28)
+    if kind in _GAP:
+        return _pack_gap_one(c, _GAP[kind])
+    if kind in _TWOLEVEL:
+        return _pack_twolevel_one(c, *_TWOLEVEL[kind])
+    if kind in _SPARSE:
+        return _pack_sparse_one(c, *_SPARSE[kind])
     if kind == "i8":
         return pack_coeff_wire([c])
+    if kind == "i16":
+        return _pack_i16_one(c)
     return pack_coeff_wire_n([c], int(kind[1:]))
+
+
+def _plane_rung_size(bh: int, bw: int, kind: str) -> int:
+    """Exact wire bytes of one (bh, bw, 64) plane on `kind` — a static
+    function of shape, so pack_coeff_wire_best can pick the SMALLEST
+    fitting rung analytically and pack only the winner (one stats pass +
+    one pack per plane instead of trying packers in ladder order)."""
+    n = bh * bw
+    n_ac = n * 63
+    g = -(-n_ac // 32)
+    if kind in _GAP:
+        return 2 * n + 2 * _sparse_cap(n_ac, _GAP[kind]) \
+            + 6 * _sparse_esc(n_ac)
+    if kind in _TWOLEVEL:
+        bpct, vpct = _TWOLEVEL[kind]
+        return (2 * n + 4 * (-(-n // 32)) + 8 * _blk_cap(n, bpct)
+                + _sparse_cap(n_ac, vpct) + 6 * _sparse_esc(n_ac))
+    if kind in _SPARSE:
+        pct, epct = _SPARSE[kind]
+        ecap = _sparse_cap(n_ac, epct) if epct else _sparse_esc(n_ac)
+        return 2 * n + 4 * g + _sparse_cap(n_ac, pct) + 6 * ecap
+    if kind == "i8":
+        return 2 * n + 63 * n + 8 * _ESC_CAP
+    if kind == "i16":
+        return 128 * n
+    bits = int(kind[1:])
+    return 2 * n + 4 * bits * g + 6 * _esc_cap4(n_ac)
+
+
+def _plane_stats(c):
+    """One pass over a plane: (n_ac, gap-wire entry count, occupied-block
+    count, nonzero VALUES).  Threshold counts for every rung's escape
+    predicate then run on the (small) nonzero array, so rung selection
+    costs one full-plane pass total instead of one per rung."""
+    a = np.asarray(c)
+    ac = np.ascontiguousarray(a[..., 1:], np.int16).reshape(-1)
+    idx = np.flatnonzero(ac)
+    v = ac[idx]
+    occ = int((a[..., 1:] != 0).any(-1).sum())
+    return ac.size, _gap_entries(idx), occ, v
+
+
+def _rung_fits(n_ac: int, entries: int, occ: int, v, kind: str) -> bool:
+    """Whether `kind`'s static caps hold, from _plane_stats output (the
+    same predicates the packers enforce).  Zeros lie inside every value
+    range, so escape counts over the nonzero values equal full-plane
+    counts."""
+    nz = int(v.size)
+    if kind == "i16":
+        return True
+    if kind in _GAP:
+        return (entries <= _sparse_cap(n_ac, _GAP[kind])
+                and int(np.count_nonzero((v < -128) | (v > 127)))
+                <= _sparse_esc(n_ac))
+    if kind in _TWOLEVEL:
+        bpct, vpct = _TWOLEVEL[kind]
+        return (occ <= _blk_cap(n_ac // 63, bpct)
+                and nz <= _sparse_cap(n_ac, vpct)
+                and int(np.count_nonzero((v < -128) | (v > 127)))
+                <= _sparse_esc(n_ac))
+    if kind in _SPARSE:
+        pct, epct = _SPARSE[kind]
+        ecap = _sparse_cap(n_ac, epct) if epct else _sparse_esc(n_ac)
+        return (nz <= _sparse_cap(n_ac, pct)
+                and int(np.count_nonzero((v < -128) | (v > 127))) <= ecap)
+    if kind == "i8":
+        return int(np.count_nonzero((v > 127) | (v < -127))) <= _ESC_CAP
+    half = 1 << (int(kind[1:]) - 1)
+    return int(np.count_nonzero((v < -half) | (v >= half))) \
+        <= _esc_cap4(n_ac)
+
+
+def _plane_rung_fits(c, kind: str) -> bool:
+    n_ac, entries, occ, v = _plane_stats(c)
+    return _rung_fits(n_ac, entries, occ, v, kind)
 
 
 def pack_coeff_wire_best(planes):
@@ -1171,19 +1376,21 @@ def pack_coeff_wire_best(planes):
     its base planes, and one dense plane must not force the whole image
     onto a wide wire).  Returns (blob bytes, kind str) where kind is
     either a single rung name (all planes agree — reuses the uniform
-    compiled programs) or comma-joined per-plane rungs; (None, None) when
-    some plane fits no rung (pathological escape density; caller uses the
-    per-plane legacy upload)."""
+    compiled programs) or comma-joined per-plane rungs.  The terminal
+    "i16" rung always fits, so the wire never falls back to the legacy
+    per-plane upload (16-24 transfers on a ~40 ms-latency link).
+    Selection stays inside _FAST_KINDS (scatter/dense unpack)."""
     parts, kinds = [], []
     for c in planes:
-        for kind in _PLANE_KINDS:
-            b = _pack_plane(c, kind)
-            if b is not None:
-                parts.append(b)
-                kinds.append(kind)
-                break
-        else:
-            return None, None
+        bh, bw = np.asarray(c).shape[:2]
+        n_ac, entries, occ, v = _plane_stats(c)
+        kind = min((k for k in _FAST_KINDS
+                    if _rung_fits(n_ac, entries, occ, v, k)),
+                   key=lambda k: _plane_rung_size(bh, bw, k))
+        b = _pack_plane(c, kind)
+        assert b is not None and len(b) == _plane_rung_size(bh, bw, kind)
+        parts.append(b)
+        kinds.append(kind)
     kind = kinds[0] if len(set(kinds)) == 1 else ",".join(kinds)
     return b"".join(parts), kind
 
@@ -1196,7 +1403,26 @@ COEFF_WIRE_LADDER = ((pack_coeff_wire_sparse, "sp"),
                      (pack_coeff_wire, "i8"))
 
 
-def _unpack_one_sparse(blob, off: int, bh: int, bw: int, pct: int):
+def _prefix_pos(bits_rc):
+    """Inclusive prefix-sum positions over a (R, C) 0/1 int32 matrix,
+    flattened row-major — the sparse wires' rank computation.  A flat
+    jnp.cumsum over R*C elements lowers to ~log2(R*C) full passes on TPU
+    (measured 117 ms of a 165 ms 4K decode program); instead ride the
+    MXU: within-row inclusive prefix = bits @ lower-triangular ones (row
+    sums <= C <= 63, exact in f32), then a C-times-smaller int32 cumsum
+    for the row offsets."""
+    c = bits_rc.shape[-1]
+    tri = jnp.tril(jnp.ones((c, c), jnp.float32)).T     # [j, k]=1 for k>=j
+    pf = jax.lax.dot_general(
+        bits_rc.astype(jnp.float32), tri,
+        (((1,), (0,)), ((), ()))).astype(jnp.int32)     # (R, C) inclusive
+    row_tot = pf[:, -1]
+    off = jnp.cumsum(row_tot) - row_tot                 # exclusive offsets
+    return (off[:, None] + pf).reshape(-1)              # inclusive ranks
+
+
+def _unpack_one_sparse(blob, off: int, bh: int, bw: int, pct: int,
+                       epct: int | None = None):
     """Device half of _pack_sparse_one: expand the occupancy mask,
     prefix-sum it into positions in the compacted value array, and gather
     the nonzeros back into place (one vectorized cumsum + gather; no
@@ -1217,6 +1443,100 @@ def _unpack_one_sparse(blob, off: int, bh: int, bw: int, pct: int):
     vals = jax.lax.bitcast_convert_type(
         jax.lax.slice(blob, [off], [off + cap]), jnp.int8).reshape(-1)
     off += cap
+    ecap = _sparse_cap(n_ac, epct) if epct else _sparse_esc(n_ac)
+    eidx = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 4 * ecap]).reshape(ecap, 4),
+        jnp.int32).reshape(-1)
+    off += 4 * ecap
+    eval_ = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 2 * ecap]).reshape(ecap, 2),
+        jnp.int16).reshape(-1)
+    off += 2 * ecap
+    v32 = vals.astype(jnp.int32).at[eidx].set(
+        eval_.astype(jnp.int32), mode="drop")
+    bits2 = ((mask_w >> lanes) & 1).astype(jnp.int32)       # (g, 32)
+    bits = bits2.reshape(-1)[:n_ac]
+    pos = _prefix_pos(bits2)[:n_ac] - 1
+    ac = jnp.where(bits == 1,
+                   jnp.take(v32, jnp.clip(pos, 0, cap - 1)), 0)
+    plane = jnp.concatenate(
+        [dc[..., None].astype(jnp.int32), ac.reshape(bh, bw, 63)], axis=-1)
+    return plane, off
+
+
+def _unpack_one_twolevel(blob, off: int, bh: int, bw: int, bpct: int,
+                         vpct: int):
+    """Device half of _pack_twolevel_one: expand the block-occupancy
+    bits, prefix-sum them into slots of the compacted block-mask array,
+    gather each block's 63-bit sample mask (zero for unoccupied blocks),
+    then reuse the flat sparse recovery (per-sample cumsum + value
+    gather).  Static shapes throughout."""
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    lanes31 = jnp.arange(31, dtype=jnp.uint32)[None, :]
+    n = bh * bw
+    n_ac = n * 63
+    dc = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 2 * n]).reshape(n, 2),
+        jnp.int16).reshape(bh, bw)
+    off += 2 * n
+    gb = -(-n // 32)
+    occ_w = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 4 * gb]).reshape(gb, 4),
+        jnp.uint32).reshape(gb, 1)
+    off += 4 * gb
+    bcap = _blk_cap(n, bpct)
+    bm = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 8 * bcap]).reshape(2 * bcap, 4),
+        jnp.uint32).reshape(bcap, 2)
+    off += 8 * bcap
+    vcap = _sparse_cap(n_ac, vpct)
+    vals = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + vcap]), jnp.int8).reshape(-1)
+    off += vcap
+    ecap = _sparse_esc(n_ac)
+    eidx = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 4 * ecap]).reshape(ecap, 4),
+        jnp.int32).reshape(-1)
+    off += 4 * ecap
+    eval_ = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 2 * ecap]).reshape(ecap, 2),
+        jnp.int16).reshape(-1)
+    off += 2 * ecap
+    occ = ((occ_w >> lanes) & 1).astype(jnp.int32).reshape(-1)[:n]
+    slot = jnp.clip(jnp.cumsum(occ) - 1, 0, bcap - 1)
+    lo = jnp.where(occ == 1, bm[slot, 0], 0)
+    hi = jnp.where(occ == 1, bm[slot, 1], 0)
+    bits2 = jnp.concatenate(
+        [((lo[:, None] >> lanes) & 1), ((hi[:, None] >> lanes31) & 1)],
+        axis=1).astype(jnp.int32)                           # (n, 63)
+    bits = bits2.reshape(-1)
+    v32 = vals.astype(jnp.int32).at[eidx].set(
+        eval_.astype(jnp.int32), mode="drop")
+    pos = _prefix_pos(bits2) - 1
+    ac = jnp.where(bits == 1,
+                   jnp.take(v32, jnp.clip(pos, 0, vcap - 1)), 0)
+    plane = jnp.concatenate(
+        [dc[..., None].astype(jnp.int32), ac.reshape(bh, bw, 63)], axis=-1)
+    return plane, off
+
+
+def _unpack_one_gap(blob, off: int, bh: int, bw: int, pct: int):
+    """Device half of _pack_gap_one: one cumsum over the (small) entry
+    array reconstructs destinations, one scatter places the values —
+    no 8M-element rank or gather.  Dummy/padding entries scatter 0 into
+    zeros or run off the end (dropped)."""
+    n = bh * bw
+    n_ac = n * 63
+    dc = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 2 * n]).reshape(n, 2),
+        jnp.int16).reshape(bh, bw)
+    off += 2 * n
+    vcap = _sparse_cap(n_ac, pct)
+    gaps = jax.lax.slice(blob, [off], [off + vcap]).astype(jnp.int32)
+    off += vcap
+    vals = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + vcap]), jnp.int8).reshape(-1)
+    off += vcap
     ecap = _sparse_esc(n_ac)
     eidx = jax.lax.bitcast_convert_type(
         jax.lax.slice(blob, [off], [off + 4 * ecap]).reshape(ecap, 4),
@@ -1228,13 +1548,20 @@ def _unpack_one_sparse(blob, off: int, bh: int, bw: int, pct: int):
     off += 2 * ecap
     v32 = vals.astype(jnp.int32).at[eidx].set(
         eval_.astype(jnp.int32), mode="drop")
-    bits = ((mask_w >> lanes) & 1).astype(jnp.int32).reshape(-1)[:n_ac]
-    pos = jnp.cumsum(bits) - 1
-    ac = jnp.where(bits == 1,
-                   jnp.take(v32, jnp.clip(pos, 0, cap - 1)), 0)
+    dst = jnp.cumsum(gaps) - 1
+    ac = jnp.zeros(n_ac, jnp.int32).at[dst].set(v32, mode="drop")
     plane = jnp.concatenate(
         [dc[..., None].astype(jnp.int32), ac.reshape(bh, bw, 63)], axis=-1)
     return plane, off
+
+
+def _unpack_one_i16(blob, off: int, bh: int, bw: int):
+    """Device half of _pack_i16_one (dense int16, terminal rung)."""
+    n = bh * bw
+    plane = jax.lax.bitcast_convert_type(
+        jax.lax.slice(blob, [off], [off + 128 * n]).reshape(64 * n, 2),
+        jnp.int16).reshape(bh, bw, 64).astype(jnp.int32)
+    return plane, off + 128 * n
 
 
 def _unpack_one_n(blob, off: int, bh: int, bw: int, bits: int):
@@ -1302,12 +1629,16 @@ def _unpack_one_i8(blob, off: int, bh: int, bw: int):
 
 
 def _unpack_plane(blob, off: int, bh: int, bw: int, kind: str):
-    if kind == "sp":
-        return _unpack_one_sparse(blob, off, bh, bw, 12)
-    if kind == "sq":
-        return _unpack_one_sparse(blob, off, bh, bw, 28)
+    if kind in _GAP:
+        return _unpack_one_gap(blob, off, bh, bw, _GAP[kind])
+    if kind in _TWOLEVEL:
+        return _unpack_one_twolevel(blob, off, bh, bw, *_TWOLEVEL[kind])
+    if kind in _SPARSE:
+        return _unpack_one_sparse(blob, off, bh, bw, *_SPARSE[kind])
     if kind == "i8":
         return _unpack_one_i8(blob, off, bh, bw)
+    if kind == "i16":
+        return _unpack_one_i16(blob, off, bh, bw)
     return _unpack_one_n(blob, off, bh, bw, int(kind[1:]))
 
 

@@ -609,9 +609,10 @@ def test_coeff_wire_best_mixed_kinds_roundtrip():
     while sparse base planes stay on the sparse wire; the multi-kind blob
     is lossless through _unpack_coeff_wire_multi."""
     rs = np.random.RandomState(12)
-    # the dense plane must overflow the sparse caps for real: the cap
-    # floor is 4096 values, so it needs > 4096 nonzero ACs
-    shapes = [(6, 10), (3, 5), (3, 5), (16, 16)]
+    # planes must be big enough that the sparse rungs' static cap floors
+    # (4096 values, 2048 escapes) beat the dense i16 rung's 128 B/block;
+    # the dense plane must overflow the sparse caps for real
+    shapes = [(48, 64), (24, 32), (24, 32), (64, 64)]
     planes = []
     for i, (bh, bw) in enumerate(shapes):
         c = np.zeros((bh, bw, 64), np.int16)
@@ -625,12 +626,99 @@ def test_coeff_wire_best_mixed_kinds_roundtrip():
     blob, kind = fused.pack_coeff_wire_best(planes)
     assert blob is not None
     kinds = kind.split(",")
-    assert len(kinds) == 4 and kinds[0] == "sp" and kinds[3] != "sp"
+    assert len(kinds) == 4 and kinds[0] in fused._GAP
+    assert kinds[3] not in (set(fused._GAP) - {"gd"}) | {"i3", "i4"}
     out = fused._unpack_coeff_wire_multi(
         jnp.asarray(np.frombuffer(blob, np.uint8)),
         tuple(shapes), kind)
     for c, o in zip(planes, out):
         np.testing.assert_array_equal(np.asarray(o), c.astype(np.int32))
+
+
+def _rung_plane(bh, bw, nzfrac, lo, hi, seed, blockwise=False):
+    rs = np.random.RandomState(seed)
+    c = np.zeros((bh, bw, 64), np.int16)
+    c[..., 0] = rs.randint(-900, 900, (bh, bw))
+    if blockwise:      # nonzeros clustered in a few blocks (two-level rungs)
+        occ = rs.rand(bh, bw) < nzfrac
+        nz = occ[..., None] & (rs.rand(bh, bw, 63) < 0.25)
+    else:
+        nz = rs.rand(bh, bw, 63) < nzfrac
+    v = rs.randint(lo, hi, int(nz.sum())).astype(np.int16)
+    v[v == 0] = 1
+    c[..., 1:][nz] = v
+    return c
+
+
+@pytest.mark.parametrize("kind,plane", [
+    ("ga", _rung_plane(60, 64, 0.015, -200, 200, 4)),
+    ("gb", _rung_plane(60, 64, 0.05, -135, 135, 4)),
+    ("gc", _rung_plane(60, 64, 0.11, -135, 135, 4)),
+    ("gd", _rung_plane(60, 64, 0.28, -40, 40, 4)),
+    ("ta", _rung_plane(60, 64, 0.05, -90, 90, 5, blockwise=True)),
+    ("tb", _rung_plane(60, 64, 0.12, -90, 90, 6, blockwise=True)),
+    ("tc", _rung_plane(60, 64, 0.28, -90, 90, 7, blockwise=True)),
+    ("sr", _rung_plane(60, 64, 0.40, -40, 40, 8)),
+    ("i16", _rung_plane(60, 64, 0.95, -2000, 2000, 9)),
+])
+def test_coeff_wire_new_rungs_roundtrip(kind, plane):
+    """Gap-coded scatter rungs (incl. |v| > 127 escapes and >255-sample
+    gaps bridged by dummies), two-level (block-occupancy) rungs, the
+    wide-escape sr rung, and the terminal dense i16 rung: pack -> device
+    unpack is lossless, the blob length matches the static size formula,
+    and escapes (|v| > 127 under a compacted i8 value array) survive."""
+    blob = fused._pack_plane(plane, kind)
+    assert blob is not None
+    assert len(blob) == fused._plane_rung_size(60, 64, kind)
+    out, off = fused._unpack_plane(
+        jnp.asarray(np.frombuffer(blob, np.uint8)), 0, 60, 64, kind)
+    assert off == len(blob)
+    np.testing.assert_array_equal(np.asarray(out), plane.astype(np.int32))
+
+
+def test_coeff_wire_gap_rung_wide_gaps():
+    """Destinations more than 255 samples apart ride zero-valued dummy
+    entries; extreme case: two nonzeros at the far ends of the plane."""
+    c = np.zeros((20, 20, 64), np.int16)
+    c[0, 0, 1] = -300          # also an escape (|v| > 127)
+    c[19, 19, 63] = 7
+    blob = fused._pack_plane(c, "ga")
+    assert blob is not None
+    out, _ = fused._unpack_plane(
+        jnp.asarray(np.frombuffer(blob, np.uint8)), 0, 20, 20, "ga")
+    np.testing.assert_array_equal(np.asarray(out), c.astype(np.int32))
+
+
+def test_coeff_wire_best_never_falls_back():
+    """The i16 terminal rung always fits: even a pathological dense
+    wide-valued plane gets a coalesced wire blob (the legacy per-plane
+    upload is dead as a wire-overflow fallback)."""
+    rs = np.random.RandomState(14)
+    c = rs.randint(-2000, 2000, (24, 24, 64)).astype(np.int16)
+    blob, kind = fused.pack_coeff_wire_best([c])
+    assert blob is not None and kind == "i16"
+    out = fused._unpack_coeff_wire_multi(
+        jnp.asarray(np.frombuffer(blob, np.uint8)), ((24, 24),), kind)
+    np.testing.assert_array_equal(np.asarray(out[0]), c.astype(np.int32))
+
+
+def test_coeff_wire_best_picks_smallest_fitting_fast_rung():
+    """Rung choice is min-size over the fitting FAST rungs (scatter/dense
+    unpack; the mask rungs cost ~100 ms more device time than their best
+    -case byte savings buy back): for every rung the static size formula
+    matches the packed bytes, and no fitting fast rung is smaller than
+    the chosen one."""
+    c = _rung_plane(60, 64, 0.05, -90, 90, 15, blockwise=True)
+    blob, kind = fused.pack_coeff_wire_best([c])
+    sizes = {}
+    for k in fused._PLANE_KINDS:
+        b = fused._pack_plane(c, k)
+        if b is not None:
+            assert len(b) == fused._plane_rung_size(60, 64, k)
+            sizes[k] = len(b)
+    assert kind in fused._FAST_KINDS
+    assert len(blob) == sizes[kind] == min(
+        sizes[k] for k in sizes if k in fused._FAST_KINDS)
 
 
 def test_coeff_wire_best_uniform_kind_collapses():
@@ -645,7 +733,8 @@ def test_coeff_wire_best_uniform_kind_collapses():
         c[..., 1:][nz] = rs.randint(-2, 3, int(nz.sum())).astype(np.int16)
         planes.append(c)
     blob, kind = fused.pack_coeff_wire_best(planes)
-    assert kind == "sp"
+    assert "," not in kind          # tiny planes: the cap floors make the
+    assert kind == "i16"            # dense terminal rung the smallest
     out = fused._unpack_coeff_wire_multi(
         jnp.asarray(np.frombuffer(blob, np.uint8)), ((4, 6), (2, 3)), kind)
     for c, o in zip(planes, out):
