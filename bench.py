@@ -3,30 +3,40 @@
 Mirrors the reference benchmark methodology (wall-clock per op,
 /root/reference/benchmark/benchmark_test.cpp:526-539) on its API-0 config
 (:62-66): P010 BT2100/HLG input, q95, one-pass gain map, plus its decode
-configs (:481-494).  Content is PHOTOGRAPHIC, like the reference's own
-benchmark corpus (UltrahdrBenchmarkTestRes photographs,
-benchmark_test.cpp:55-72): the reference's 1280x720 P010 test fixture
-mosaicked to 4K (benchmarks.natural_p010), with the old synthetic-scene
-fallback when the fixture is absent.  Compressed size (which bounds this
-build's host-link transfer) is content-dependent, so baseline and build
-are always measured on the SAME content.
+configs (:481-494).
+
+HEADLINE CONTENT IS PHOTOGRAPHIC (scene "photo", benchmarks.photo_p010):
+tiles of a real camera capture with exposure modulation and an HDR
+highlight field — the reference's own benchmark corpus is photographs
+(UltrahdrBenchmarkTestRes, benchmark_test.cpp:55-72), and photographic
+entropy is what prices the wire/entropy-sensitive stages honestly.  The
+flat-chart fixture mosaic (scene "mosaic", the old headline) and the
+synthetic high-entropy scene ("grainy") are reported alongside.  Baseline
+and build are ALWAYS compared on the SAME content; every number carries
+its scene.
 
 Baseline = the reference library built from /root/reference, measured on
-THIS machine on the SAME scene (single core == max threads here; the host
-has 1 CPU and the reference caps at min(cores,4), jpegr.cpp:732):
+THIS machine per scene (single core == max threads here; the host has 1
+CPU and the reference caps at min(cores,4), jpegr.cpp:732), best-of-N:
 
-    4K API-0 encode: 3.44 MP/s (2408 ms)    decode->HLG1010102: 9.0 MP/s
+    photo  4K API-0 encode 2.392 MP/s   decode->HLG1010102 6.307 MP/s
+    grainy 4K API-0 encode 3.58  MP/s   decode->HLG1010102 8.89  MP/s
+    mosaic 4K API-0 encode 3.44  MP/s   decode->HLG1010102 9.0   MP/s
 
-(measured 2026-08-17 best-of-N wall clock on /tmp/photo_4k.p010;
-BASELINE.md records both content variants.)
+(BASELINE.md records the measurement history and content definitions.)
 
-Metrics (medians over reps; the tunnel link has +-30% variance):
-  headline  api0_encode_4k_p010_hlg — pipelined batch encode, host P010
-            input -> JPEG_R bytes on host (the reference's own contract).
+Metrics (best-of-reps headline, medians for extras; the tunnel link has
++-30% variance):
+  headline  api0_encode_4k_p010_hlg (scene=photo) — pipelined batch
+            encode, host P010 input -> JPEG_R bytes on host (the
+            reference's own contract).
   extra.decode_host_4k_hlg — decode_host (native C++ engine), JPEG_R ->
-            RGBA1010102 in host memory (the reference's decode contract).
-  extra.decode_device_4k_hlg — decode_to_device, output left HBM-resident
-            (the TPU-serving contract; no 33 MB output download).
+            RGBA1010102 in host memory (the reference's decode contract),
+            photo scene.
+  extra.decode_serving_4k_hlg — decode_to_device under 8 concurrent
+            clients (the TPU-serving contract: HBM-resident output, the
+            default microbatcher coalescing requests).
+  extra.*_mosaic / *_grainy — same ops on the other scenes.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
@@ -37,12 +47,12 @@ import time
 
 import numpy as np
 
-REF_ENCODE_4K_MPPS = 3.44    # reference, this host, same fixture-mosaic scene
-REF_DECODE_4K_MPPS = 9.0     # reference decode->HLG/RGBA1010102
-# grainy = benchmarks.grainy_p010, real-capture residual entropy (the
-# fixture mosaic is a flat chart; see BASELINE.md content variants)
-REF_ENCODE_GRAINY_MPPS = 3.58
-REF_DECODE_GRAINY_MPPS = 8.89
+# per-scene reference anchors, measured on this host (BASELINE.md)
+REF = {
+    "photo": {"encode": 2.392, "decode": 6.307},
+    "grainy": {"encode": 3.58, "decode": 8.89},
+    "mosaic": {"encode": 3.44, "decode": 9.0},
+}
 W, H = 3840, 2160
 BATCH = 8          # images in flight: overlaps upload/compute/download
 ENC_REPS = 5
@@ -54,7 +64,8 @@ LINK_NOMINAL_MBPS = 45.0
 
 
 def make_scene(w, h, seed=11, phase=0.0):
-    """Synthetic natural 4K HDR scene in P010."""
+    """Synthetic natural HDR scene in P010 planes (benchmarks.py's
+    fallback content when the committed fixtures are absent)."""
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     base = 0.45 + 0.3 * np.sin(xx / 700.0 + 1.3 + phase) * np.cos(yy / 500.0)
     blobs = (0.35 * np.exp(-(((xx - 2600) / 520.0) ** 2
@@ -75,6 +86,24 @@ def make_scene(w, h, seed=11, phase=0.0):
     return yp, uvp
 
 
+def _scene_imgs(maker, k=BATCH):
+    """k distinct-but-statistically-matched images: slide the scene
+    (even column offsets keep interleaved U/V in their lanes)."""
+    from libultrahdr_tpu.types import (ColorGamut, ColorRange,
+                                       ColorTransfer, ImgFmt, RawImage)
+    base = maker(W, H)
+    imgs = []
+    for i in range(k):
+        yp = np.ascontiguousarray(np.roll(base.planes[0], (8 * i, 32 * i),
+                                          axis=(0, 1)))
+        uvp = np.ascontiguousarray(np.roll(base.planes[1], (4 * i, 32 * i),
+                                           axis=(0, 1)))
+        imgs.append(RawImage(ImgFmt.P010, ColorGamut.BT2100,
+                             ColorTransfer.HLG, ColorRange.FULL, W, H,
+                             [yp, uvp]))
+    return imgs
+
+
 def _ping(dev_arr):
     """One tiny dependent d2h fetch: the link's fixed round-trip latency."""
     t0 = time.perf_counter()
@@ -82,32 +111,84 @@ def _ping(dev_arr):
     return time.perf_counter() - t0
 
 
-def main():
+def _bench_encode(jr, imgs, reps=ENC_REPS):
     from libultrahdr_tpu.fused import encode_api0_p010_pipelined
-    from libultrahdr_tpu.jpegr import JpegR
-    from libultrahdr_tpu.types import (ColorGamut, ColorRange, ColorTransfer,
-                                       ImgFmt, RawImage)
+    outs = encode_api0_p010_pipelined(jr, imgs[:4], quality=95)  # warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        outs = encode_api0_p010_pipelined(jr, imgs, quality=95)
+        ts.append((time.perf_counter() - t0) / len(imgs))
+    assert all(len(o) > 10000 for o in outs)
+    mp = W * H / 1e6
+    return mp / min(ts), mp / statistics.median(ts), outs
+
+
+def _bench_decode_host(d, data, reps=DEC_REPS):
+    from libultrahdr_tpu.types import ColorTransfer
+    d.decode_host(data, output_ct=ColorTransfer.HLG)  # warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        dest, _ = d.decode_host(data, output_ct=ColorTransfer.HLG)
+        ts.append(time.perf_counter() - t0)
+    assert dest.w == W and dest.planes[0].dtype == np.uint32
+    return W * H / 1e6 / statistics.median(ts)
+
+
+def _bench_decode_serving(d, streams, clients=8, rounds=3):
+    """The TPU-serving contract: N concurrent decode_to_device callers,
+    outputs HBM-resident, requests coalescing through the default
+    microbatcher.  Throughput = total MP decoded / wall time."""
+    import concurrent.futures as cf
+    from libultrahdr_tpu.types import ColorTransfer
+
+    def one(data):
+        arr, _ = d.decode_to_device(data, output_ct=ColorTransfer.HLG)
+        np.asarray(arr[:1, :4])     # force completion (tiny fetch)
+        return arr
+
+    with cf.ThreadPoolExecutor(clients) as ex:
+        list(ex.map(one, streams[:clients]))      # warm
+        ts = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            list(ex.map(one, streams[:clients]))
+            ts.append((time.perf_counter() - t0) / clients)
+    return W * H / 1e6 / statistics.median(ts)
+
+
+def _bench_decode_device_single(d, streams, reps=DEC_REPS):
+    """Per-image device-resident path (microbatcher off): the latency
+    contract, one request at a time."""
+    from libultrahdr_tpu.types import ColorTransfer
+    ts = []
+    for i in range(reps + 1):
+        src = streams[i % len(streams)]
+        t0 = time.perf_counter()
+        arr, _ = d.decode_to_device(src, output_ct=ColorTransfer.HLG,
+                                    microbatch=False)
+        np.asarray(arr[:1, :4])
+        if i:
+            ts.append(time.perf_counter() - t0)
+    return W * H / 1e6 / statistics.median(ts)
+
+
+def main():
+    import jax
 
     import benchmarks
-    base = benchmarks.natural_p010(W, H)
-    imgs = []
-    for i in range(BATCH):
-        # distinct-but-statistically-matched images: slide the mosaic
-        # (even column offsets keep interleaved U/V in their lanes)
-        yp = np.ascontiguousarray(np.roll(base.planes[0], (8 * i, 32 * i),
-                                          axis=(0, 1)))
-        uvp = np.ascontiguousarray(np.roll(base.planes[1], (4 * i, 32 * i),
-                                           axis=(0, 1)))
-        imgs.append(RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
-                             ColorRange.FULL, W, H, [yp, uvp]))
+    from libultrahdr_tpu import fused as fmod
+    from libultrahdr_tpu.jpegr import JpegR
+    from libultrahdr_tpu.types import ColorGamut, ColorRange, ColorTransfer
 
     jr = JpegR(map_dimension_scale_factor=4, use_multi_channel_gainmap=False,
                preset=0)
+    d = JpegR()
 
-    # link-speed diagnostic: the tunnel swings ~25-60 MB/s run to run and
+    # link-speed diagnostic: the tunnel swings ~12-60 MB/s run to run and
     # bounds the upload-limited encode; record it so the headline is
     # interpretable (h2d of an 8 MB incompressible buffer, best of 3)
-    import jax
     rs = np.random.RandomState(0)
     probe = rs.randint(0, 2 ** 32, size=2 * 1024 * 1024, dtype=np.uint32)
     h2d = 0.0
@@ -117,165 +198,96 @@ def main():
         np.asarray(dev[:1])
         h2d = max(h2d, probe.nbytes / (time.perf_counter() - t0) / 1e6)
 
-    # warmup: compile the fused program + fetch-slice buckets
-    outs = encode_api0_p010_pipelined(jr, imgs[:2], quality=95)
+    extra = {"scene": "photo", "link_h2d_mbps": round(h2d, 1),
+             "encode_reps": ENC_REPS, "decode_reps": DEC_REPS,
+             "stat": "best-of-reps (headline), median (extras)",
+             "link_nominal_mbps": LINK_NOMINAL_MBPS}
 
-    # ---- encode headline (pipelined, host input) ----
-    # best-of-N wall clock, the same statistic the committed reference
-    # baseline used (header above): the tunnel's ±30% link swings make
-    # median a weather report, best-of-N a build property.
-    enc_times = []
-    for _ in range(ENC_REPS):
-        t0 = time.perf_counter()
-        outs = encode_api0_p010_pipelined(jr, imgs, quality=95)
-        enc_times.append((time.perf_counter() - t0) / BATCH)
-    assert all(len(o) > 10000 for o in outs)
-    enc_best = min(enc_times)
-    enc_mpps = W * H / 1e6 / enc_best
-    enc_median_mpps = W * H / 1e6 / statistics.median(enc_times)
+    # ---------------- photo scene (HEADLINE) ----------------
+    imgs = _scene_imgs(benchmarks.photo_p010)
+    enc_best, enc_med, outs = _bench_encode(jr, imgs)
+    extra["encode_median_4k_mpps"] = round(enc_med, 3)
+    extra["decode_host_4k_hlg_mpps"] = round(
+        _bench_decode_host(d, outs[0]), 3)
+    extra["decode_host_vs_baseline"] = round(
+        extra["decode_host_4k_hlg_mpps"] / REF["photo"]["decode"], 3)
+    extra["decode_serving_4k_hlg_mpps"] = round(
+        _bench_decode_serving(d, outs), 3)
+    extra["decode_serving_vs_baseline"] = round(
+        extra["decode_serving_4k_hlg_mpps"] / REF["photo"]["decode"], 3)
+    extra["decode_device_single_4k_hlg_mpps"] = round(
+        _bench_decode_device_single(d, outs), 3)
 
-    data = outs[0]
-
-    # ---- decode to host (native C++ engine) ----
-    d = JpegR()
-    dec_times = []
-    for _ in range(DEC_REPS):
-        t0 = time.perf_counter()
-        dest, _ = d.decode_host(data, output_ct=ColorTransfer.HLG)
-        dec_times.append(time.perf_counter() - t0)
-    assert dest.w == W and dest.planes[0].dtype == np.uint32
-    dec_host_mpps = W * H / 1e6 / statistics.median(dec_times)
-
-    # ---- decode to device-resident (TPU serving path) ----
-    # NB: block_until_ready is a no-op on the axon backend; force completion
-    # with a tiny dependent fetch (4 words), not a 33 MB download.
-    ddev_times = []
-    dev_arr = None
-    for i in range(DEC_REPS):
-        src = outs[i % len(outs)]
-        t0 = time.perf_counter()
-        dev_arr, _ = d.decode_to_device(src, output_ct=ColorTransfer.HLG)
-        np.asarray(dev_arr[:1, :4])
-        ddev_times.append(time.perf_counter() - t0)
-    dec_dev_mpps = W * H / 1e6 / statistics.median(ddev_times)
-
-    # ---- batched device-resident decode (one upload/program per K) ----
-    res = d.decode_to_device_batch(outs, output_ct=ColorTransfer.HLG)
-    np.asarray(res[-1][0][:1, :4])      # warm the K-sized vmapped program
-    dbatch_times = []
-    for _ in range(max(2, DEC_REPS // 2)):
-        t0 = time.perf_counter()
-        res = d.decode_to_device_batch(outs, output_ct=ColorTransfer.HLG)
-        np.asarray(res[-1][0][:1, :4])
-        dbatch_times.append((time.perf_counter() - t0) / len(outs))
-    dec_batch_mpps = W * H / 1e6 / statistics.median(dbatch_times)
-
-    # ---- device-compute probe: the full fused API-0 program on a
-    # device-RESIDENT wire buffer (one upload up front), synced by a tiny
-    # 4-word fetch.  Link-independent up to one fetch latency, which is
-    # measured separately (ping) and subtracted.
-    from libultrahdr_tpu import fused as fmod
-    from libultrahdr_tpu.types import ColorGamut as CG
+    # wire bytes + device-compute probe on the photo wire (ping-subtracted;
+    # block_until_ready is a no-op on the axon backend)
     im0 = imgs[0]
     wire, mode = fmod._pack_wire_auto(im0.planes[0], im0.planes[1])
-    dc_times = []
+    dev_ms = None
     if wire is not None:
         import jax.numpy as jnp
         buf_dev = jax.device_put(jnp.asarray(wire))
         np.asarray(buf_dev[:1])
         ping = min(_ping(buf_dev) for _ in range(5))
-        common = dict(h=H, w=W, cg=CG.BT2100, ct=ColorTransfer.HLG,
+        common = dict(h=H, w=W, cg=ColorGamut.BT2100, ct=ColorTransfer.HLG,
                       rng=ColorRange.FULL, scale=4, multichannel=False,
-                      gamma=1.0, quality=95, map_quality=jr.map_compress_quality,
-                      use_base_cg=False, wire_2d=mode[0], wire_bits=mode[1],
-                      wire_cap=mode[2])
-        words, _bl = fmod._fused_api0_p010_delta7(buf_dev, **common)
+                      gamma=1.0, quality=95,
+                      map_quality=jr.map_compress_quality,
+                      use_base_cg=False)
+        if mode[0] == "vw":
+            run = lambda: fmod._fused_api0_p010_vw(buf_dev, **common)  # noqa: E731
+        else:
+            run = lambda: fmod._fused_api0_p010_delta7(  # noqa: E731
+                buf_dev, wire_2d=mode[0], wire_bits=mode[1],
+                wire_cap=mode[2], **common)
+        words, _bl = run()
         np.asarray(words[:4])
+        dc = []
         for _ in range(5):
             t0 = time.perf_counter()
-            words, _bl = fmod._fused_api0_p010_delta7(buf_dev, **common)
+            words, _bl = run()
             np.asarray(words[:4])
-            dc_times.append(time.perf_counter() - t0 - ping)
-    dev_ms = statistics.median(dc_times) * 1e3 if dc_times else None
+            dc.append(time.perf_counter() - t0 - ping)
+        dev_ms = statistics.median(dc) * 1e3
+        extra["encode_wire_bytes_per_img"] = int(wire.nbytes)
+        extra["encode_wire_mode"] = str(mode)
+        extra["encode_device_compute_4k_ms"] = round(dev_ms, 1)
+        extra["encode_device_compute_4k_mpps"] = round(
+            W * H / 1e6 / (dev_ms / 1e3), 2)
 
-    # ---- link-normalized secondary: re-price the measured upload bytes
-    # at the nominal link speed so the encode number is comparable across
-    # link weather (the committed artifact otherwise tracks the tunnel's
-    # 12-60 MB/s swings, not the build)
-    enc_norm_mpps = None
+    # link-normalized secondary: re-price the measured upload bytes at the
+    # nominal link speed so the encode number is comparable across link
+    # weather
     if wire is not None and h2d > 1.0:
-        # the probe can be stale vs the moment the encode actually ran
-        # (it is measured minutes earlier); the encode itself lower-bounds
-        # the link at wire_bytes/enc_best, so use whichever is larger —
-        # at that bound the estimate assumes a fully upload-bound pipeline
-        eff = max(h2d, wire.nbytes / enc_best / 1e6)
-        t_norm = enc_best - wire.nbytes / (eff * 1e6) \
+        enc_best_t = W * H / 1e6 / enc_best
+        eff = max(h2d, wire.nbytes / enc_best_t / 1e6)
+        t_norm = enc_best_t - wire.nbytes / (eff * 1e6) \
             + wire.nbytes / (LINK_NOMINAL_MBPS * 1e6)
         if t_norm > 0:
-            enc_norm_mpps = W * H / 1e6 / t_norm
+            extra["encode_link_normalized_mpps"] = round(
+                W * H / 1e6 / t_norm, 3)
 
-    # ---- grainy (high-entropy) content variant: keeps entropy-sensitive
-    # numbers honest (the headline scene is the reference's own flat-chart
-    # fixture; BASELINE.md).  Never breaks the headline.
-    grainy_enc = grainy_dec = None
-    try:
-        from benchmarks import grainy_p010
-        gimgs = [grainy_p010(W, H, seed=23 + i) for i in range(2)]
-        gouts = encode_api0_p010_pipelined(jr, gimgs, quality=95)  # warm
-        gt = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            gouts = encode_api0_p010_pipelined(jr, gimgs, quality=95)
-            gt.append((time.perf_counter() - t0) / len(gimgs))
-        grainy_enc = W * H / 1e6 / statistics.median(gt)
-        d.decode_host(gouts[0], output_ct=ColorTransfer.HLG)
-        gt = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            d.decode_host(gouts[0], output_ct=ColorTransfer.HLG)
-            gt.append(time.perf_counter() - t0)
-        grainy_dec = W * H / 1e6 / statistics.median(gt)
-    except Exception:
-        pass
+    # ---------------- other scenes ----------------
+    for scene, maker in (("grainy", benchmarks.grainy_p010),
+                         ("mosaic", benchmarks.natural_p010)):
+        try:
+            simgs = _scene_imgs(maker, 4)
+            e_best, _, souts = _bench_encode(jr, simgs, reps=3)
+            extra[f"encode_{scene}_4k_mpps"] = round(e_best, 3)
+            extra[f"encode_{scene}_vs_baseline"] = round(
+                e_best / REF[scene]["encode"], 3)
+            dh = _bench_decode_host(d, souts[0], reps=3)
+            extra[f"decode_host_{scene}_4k_mpps"] = round(dh, 3)
+            extra[f"decode_host_{scene}_vs_baseline"] = round(
+                dh / REF[scene]["decode"], 3)
+        except Exception:   # never break the headline
+            pass
 
     print(json.dumps({
         "metric": "api0_encode_4k_p010_hlg",
-        "value": round(enc_mpps, 3),
+        "value": round(enc_best, 3),
         "unit": "MP/s",
-        "vs_baseline": round(enc_mpps / REF_ENCODE_4K_MPPS, 3),
-        "extra": {
-            "decode_host_4k_hlg_mpps": round(dec_host_mpps, 3),
-            "decode_host_vs_baseline": round(
-                dec_host_mpps / REF_DECODE_4K_MPPS, 3),
-            "decode_device_4k_hlg_mpps": round(dec_dev_mpps, 3),
-            "decode_device_vs_baseline": round(
-                dec_dev_mpps / REF_DECODE_4K_MPPS, 3),
-            "decode_device_batch8_4k_hlg_mpps": round(dec_batch_mpps, 3),
-            "encode_device_compute_4k_ms": (round(dev_ms, 1)
-                                            if dev_ms else None),
-            "encode_device_compute_4k_mpps": (round(W * H / 1e6
-                                                    / (dev_ms / 1e3), 2)
-                                              if dev_ms else None),
-            "encode_grainy_4k_mpps": (round(grainy_enc, 3)
-                                      if grainy_enc else None),
-            "encode_grainy_vs_baseline": (round(
-                grainy_enc / REF_ENCODE_GRAINY_MPPS, 3)
-                if grainy_enc else None),
-            "decode_host_grainy_4k_mpps": (round(grainy_dec, 3)
-                                           if grainy_dec else None),
-            "decode_host_grainy_vs_baseline": (round(
-                grainy_dec / REF_DECODE_GRAINY_MPPS, 3)
-                if grainy_dec else None),
-            "encode_median_4k_mpps": round(enc_median_mpps, 3),
-            "encode_link_normalized_mpps": (round(enc_norm_mpps, 3)
-                                            if enc_norm_mpps else None),
-            "encode_wire_bytes_per_img": (int(wire.nbytes)
-                                          if wire is not None else None),
-            "link_nominal_mbps": LINK_NOMINAL_MBPS,
-            "encode_reps": ENC_REPS, "decode_reps": DEC_REPS,
-            "stat": "best-of-reps (headline), median (extras)",
-            "link_h2d_mbps": round(h2d, 1),
-        },
+        "vs_baseline": round(enc_best / REF["photo"]["encode"], 3),
+        "extra": extra,
     }))
 
 
@@ -299,19 +311,18 @@ def _fallback_cpu_only():
     engine numbers (decode_host needs no device), one honest JSON line."""
     import jax
     jax.config.update("jax_platforms", "cpu")
-    extra = {"error": "device backend unavailable; CPU-side metrics only"}
+    extra = {"error": "device backend unavailable; CPU-side metrics only",
+             "scene": "photo"}
     try:
         import subprocess
+
+        import benchmarks
         from libultrahdr_tpu.jpegr import JpegR
         from libultrahdr_tpu.types import ColorTransfer
-        from benchmarks import grainy_p010, natural_p010
         app = "/tmp/refbuild/ultrahdr_app"
         d = JpegR()
-        for key, maker, ref in (
-                ("decode_host_4k_hlg_mpps", natural_p010,
-                 REF_DECODE_4K_MPPS),
-                ("decode_host_grainy_4k_mpps", grainy_p010,
-                 REF_DECODE_GRAINY_MPPS)):
+        for scene, maker in (("photo", benchmarks.photo_p010),
+                             ("grainy", benchmarks.grainy_p010)):
             img = maker(W, H)
             raw = "/tmp/bench_fb.p010"
             np.concatenate([img.planes[0].ravel(),
@@ -329,9 +340,11 @@ def _fallback_cpu_only():
                 t0 = time.perf_counter()
                 d.decode_host(data, output_ct=ColorTransfer.HLG)
                 ts.append(time.perf_counter() - t0)
+            key = "decode_host_4k_hlg_mpps" if scene == "photo" \
+                else f"decode_host_{scene}_4k_mpps"
             extra[key] = round(W * H / 1e6 / statistics.median(ts), 3)
             extra[key.replace("_mpps", "_vs_baseline")] = round(
-                extra[key] / ref, 3)
+                extra[key] / REF[scene]["decode"], 3)
     except Exception as e:  # keep the line printable no matter what
         extra["fallback_error"] = repr(e)[:200]
     print(json.dumps({"metric": "api0_encode_4k_p010_hlg", "value": 0,

@@ -93,7 +93,11 @@ def ref_decode_hlg(lib, data: bytes):
         comp = _Compressed()
         comp.data = ctypes.cast(buf, ctypes.c_void_p)
         comp.data_sz = comp.capacity = len(data)
-        comp.cg = comp.ct = comp.range = 0
+        # UHDR_CG/CT/CR_UNSPECIFIED (-1), matching make_reference_goldens:
+        # 0 would mean BT709/LINEAR/LIMITED and on metadata-corrupted
+        # mutants the reference honors the hints, yielding false PSNR
+        # divergences vs our decoder's neutral defaults
+        comp.cg = comp.ct = comp.range = -1
         if lib.uhdr_dec_set_image(dec, ctypes.byref(comp)).error_code:
             return None
         if lib.uhdr_dec_set_out_color_transfer(dec, 1).error_code:  # HLG

@@ -190,17 +190,19 @@ _WIRE_LADDER = ((True, 2, 8192), (True, 3, 8192), (True, 4, 8192),
 
 
 def _wire_mode():
-    """Upload wire mode from UHDR_TPU_WIRE: 'auto' (default; try the
-    ladder 2d2/8k -> 2d3/8k -> 2d4/8k -> 2d5/8k -> 2d6 -> 1d7, smallest
-    wire that fits wins),
-    '1d7' (the original delta7), or any '1dN'/'2dN' with N in 2..8.
-    Escape-overflow falls through the ladder and finally to the dense
-    10-bit pack, so the mode is a pure perf knob (wire choice is
-    byte-invisible in the output).  Returns a tuple of candidate modes."""
+    """Upload wire mode from UHDR_TPU_WIRE: 'auto' (default; the
+    variable-width group wire 'vw', which always fits and sizes itself to
+    the content, with the fixed ladder as a safety net), 'vw' alone, any
+    fixed '1dN'/'2dN' rung with N in 2..8, or '1d7' (the original
+    delta7).  Overflow falls through to the next candidate and finally to
+    the dense 10-bit pack, so the mode is a pure perf knob (wire choice
+    is byte-invisible in the output).  Returns a tuple of candidates."""
     import os
     m = os.environ.get("UHDR_TPU_WIRE", "auto").strip().lower()
     if m == "auto":
-        return _WIRE_LADDER
+        return ("vw",) + _WIRE_LADDER
+    if m == "vw":
+        return ("vw",)
     try:
         two_d = m[0] == "2"
         bits = int(m[2:])
@@ -241,10 +243,118 @@ def pack_delta7_wire(y_plane: np.ndarray, uv_plane: np.ndarray):
     return pack_delta_wire(y_plane, uv_plane)
 
 
+# ---------------------------------------------------------------------------
+# Variable-width group wire ("vw", the default upload codec since round 5).
+# Every 32-sample group of 2D residuals rides its OWN bit width (0..12, the
+# exact signed bits its min/max need; 4-bit width fields pack 8/u32), so
+# there are no escape lists and no rung ladder: flat content costs ~0.15
+# bits/sample, photographic content its local entropy (4K measured: mosaic
+# 0.22 MB vs 3.2 on the 2d2 rung, photo 9.5 MB vs 15.6 dense — photo
+# previously overflowed EVERY fixed rung's escape cap and fell to the dense
+# 10-bit pack).  One buffer per image, length rounded to _VW_BUCKET so a
+# content type settles on a handful of compiled program variants.
+
+_VW_BUCKET = 131072            # u32 words = 512 KiB upload granularity
+_VW_MAXW = 12                  # 10-bit samples: 2D residuals span <=12 bits
+
+
+def _vw_header_words(h: int, w: int) -> tuple[int, int, int, int]:
+    n_y, n_uv = h * w, (h // 2) * w
+    gy, guv = -(-n_y // 32), -(-n_uv // 32)
+    return gy, guv, -(-gy // 8), -(-guv // 8)
+
+
+def pack_vw_wire(y_plane: np.ndarray, uv_plane: np.ndarray):
+    """Host half: [y widths u4][uv widths u4][y payload][uv payload], one
+    u32 buffer padded to the bucket.  Returns (buf, ("vw", len(buf)))."""
+    h, w = y_plane.shape
+    if uv_plane.shape != (h // 2, w) or w < 2:
+        return None, None
+    gy, guv, wyw, wuvw = _vw_header_words(h, w)
+    wy = np.zeros(wyw, np.uint32)
+    wuv = np.zeros(wuvw, np.uint32)
+    py = np.empty(gy * _VW_MAXW, np.uint32)
+    puv = np.empty(guv * _VW_MAXW, np.uint32)
+    ny = native.pack_vw_into(y_plane, False, wy, py)
+    nuv = native.pack_vw_into(uv_plane, True, wuv, puv)
+    if ny is None or nuv is None:
+        return None, None
+    total = wyw + wuvw + ny + nuv
+    nwords = -(-total // _VW_BUCKET) * _VW_BUCKET
+    buf = np.zeros(nwords, np.uint32)
+    o = 0
+    for part in (wy, wuv, py[:ny], puv[:nuv]):
+        buf[o:o + part.size] = part
+        o += part.size
+    return buf, ("vw", nwords)
+
+
+def _vw_decode_planes(buf, h: int, w: int):
+    """Device half: width-array cumsum -> per-group payload offsets, 12
+    masked gathers + shift-and un-slicing, then the same two cumsums that
+    undo the 2D predictor (uhdr_resid2d's exact conventions)."""
+    n_y, n_uv = h * w, (h // 2) * w
+    gy, guv, wyw, wuvw = _vw_header_words(h, w)
+    ww = buf[:wyw + wuvw]
+    wa8 = jnp.stack([(ww >> jnp.uint32(4 * j)) & jnp.uint32(15)
+                     for j in range(8)], axis=1).astype(jnp.int32)
+    wa = jnp.concatenate([wa8[:wyw].reshape(-1)[:gy],
+                          wa8[wyw:].reshape(-1)[:guv]])
+    offs = jnp.cumsum(wa) - wa
+    payload = buf[wyw + wuvw:]
+    idx = offs[:, None] + jnp.arange(_VW_MAXW, dtype=jnp.int32)[None, :]
+    wordsg = jnp.take(payload, jnp.clip(idx, 0, payload.shape[0] - 1))
+    wordsg = jnp.where(
+        jnp.arange(_VW_MAXW, dtype=jnp.int32)[None, :] < wa[:, None],
+        wordsg, jnp.uint32(0))
+    lanes = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    s = jnp.zeros((wa.shape[0], 32), jnp.int32)
+    for b in range(_VW_MAXW):
+        s = s | (((wordsg[:, b:b + 1] >> lanes) & 1) << b).astype(jnp.int32)
+    bias = jnp.where(wa > 0,
+                     jnp.left_shift(1, jnp.maximum(wa - 1, 0)), 0)
+    d = s - bias[:, None]
+    flat = d.reshape(-1)
+
+    def undelta(dd, ph, uv_interleaved):
+        if uv_interleaved:
+            t = jnp.cumsum(dd.reshape(ph, w // 2, 2), axis=1).reshape(ph, w)
+        else:
+            t = jnp.cumsum(dd.reshape(ph, w), axis=1)
+        v = jnp.cumsum(t, axis=0) + 512
+        return (v.astype(jnp.uint16) << 6)
+
+    y = undelta(flat[:n_y], h, False)
+    uv = undelta(flat[gy * 32:gy * 32 + n_uv], h // 2, True)
+    return y, uv
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "cg", "ct", "rng", "scale", "multichannel", "gamma",
+    "quality", "map_quality", "use_base_cg"))
+def _fused_api0_p010_vw(buf, *, h: int, w: int, cg: ColorGamut,
+                        ct: ColorTransfer, rng: ColorRange, scale: int,
+                        multichannel: bool, gamma: float, quality: int,
+                        map_quality: int, use_base_cg: bool):
+    """P010 fused API-0 on the variable-width group wire (the bucket size
+    rides the buf shape, so each content type compiles a handful of
+    variants instead of one per ladder rung)."""
+    y, uv = _vw_decode_planes(buf, h, w)
+    return _fused_api0_p010_body(y, uv, cg=cg, ct=ct, rng=rng, scale=scale,
+                                 multichannel=multichannel, gamma=gamma,
+                                 quality=quality, map_quality=map_quality,
+                                 use_base_cg=use_base_cg)
+
+
 def _pack_wire_auto(y_plane: np.ndarray, uv_plane: np.ndarray):
     """Pack with the first wire mode that fits: returns
     (wire_buf, (two_d, bits, cap)) or (None, None) -> dense 10-bit."""
     for mode in _wire_mode():
+        if mode == "vw":
+            buf, vmode = pack_vw_wire(y_plane, uv_plane)
+            if buf is not None:
+                return buf, vmode
+            continue
         if mode == _WIRE_1D7:
             buf = pack_delta7_wire(y_plane, uv_plane)   # monkeypatchable
         else:
@@ -1388,7 +1498,17 @@ def pack_coeff_wire_best(planes):
                     if _rung_fits(n_ac, entries, occ, v, k)),
                    key=lambda k: _plane_rung_size(bh, bw, k))
         b = _pack_plane(c, kind)
-        assert b is not None and len(b) == _plane_rung_size(bh, bw, kind)
+        if b is None or len(b) != _plane_rung_size(bh, bw, kind):
+            # analytic fit (_rung_fits) drifted from the packer: fall back
+            # to the always-fitting i16 rung rather than shipping a
+            # mis-sized blob to the device unpack (assert would vanish
+            # under python -O)
+            kind = "i16"
+            b = _pack_plane(c, kind)
+            if b is None or len(b) != _plane_rung_size(bh, bw, kind):
+                raise RuntimeError(
+                    "coefficient wire packer/fit mismatch on terminal "
+                    f"rung i16 (plane {bh}x{bw})")
         parts.append(b)
         kinds.append(kind)
     kind = kinds[0] if len(set(kinds)) == 1 else ",".join(kinds)
@@ -1973,13 +2093,23 @@ def encode_api0_p010_pipelined(jr, imgs, quality: int = 95,
         return (a.w == b.w and a.h == b.h and a.cg == b.cg and a.ct == b.ct
                 and a.range == b.range)
 
+    # chunk size adapts to the wire: the pipeline overlaps chunk N's drain
+    # (compute + compressed-bytes download) with chunk N+1's upload, so a
+    # chunk should cost roughly one link window (~20 MB) — photographic
+    # wires (~10 MB) ride K=2, flat-content wires (<1 MB) fill up to
+    # batch_k so the per-transfer ~40 ms latency amortizes.  Measured 4K
+    # photo: K=8 17.9 -> K=2 28.6 MP/s.
+    chunk_bytes = float(os.environ.get("UHDR_TPU_CHUNK_BYTES", "20e6"))
+
     jobs = []          # (kind, images, handle)
     i = 0
     while i < len(imgs):
         chunk, wires = [imgs[i]], [get_wire(i)]
         if wires[0][0] is not None:
+            k_cap = max(1, min(batch_k, round(
+                chunk_bytes / max(wires[0][0].nbytes, 1))))
             j = i + 1
-            while (j < len(imgs) and len(chunk) < batch_k
+            while (j < len(imgs) and len(chunk) < k_cap
                    and uniform(imgs[j], imgs[i])):
                 w = get_wire(j)
                 # a chunk shares one program: same wire mode required
@@ -2043,9 +2173,12 @@ def _dispatch_api0_p010(jr, img, quality: int, wire=_WIRE_UNSET):
         wire = _pack_wire_auto(img.planes[0], img.planes[1])
     buf, mode = wire if wire is not None else (None, None)
     if buf is not None:
-        out = _fused_api0_p010_delta7(jnp.asarray(buf), wire_2d=mode[0],
-                                      wire_bits=mode[1], wire_cap=mode[2],
-                                      **common)
+        if mode[0] == "vw":
+            out = _fused_api0_p010_vw(jnp.asarray(buf), **common)
+        else:
+            out = _fused_api0_p010_delta7(jnp.asarray(buf), wire_2d=mode[0],
+                                          wire_bits=mode[1],
+                                          wire_cap=mode[2], **common)
     else:
         y_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[0]))
         uv_bits = native.pack_p010_10bit(np.ascontiguousarray(img.planes[1]))
@@ -2347,11 +2480,15 @@ def _dispatch_api0_p010_batch(jr, imgs, quality: int, wires):
     common = dict(h=img0.h, w=img0.w, cg=cg, ct=ct, rng=rng, scale=scale,
                   multichannel=jr.use_multi_channel_gainmap, gamma=jr.gamma,
                   quality=int(quality), map_quality=jr.map_compress_quality,
-                  use_base_cg=use_base_cg, wire_2d=mode[0],
-                  wire_bits=mode[1], wire_cap=mode[2])
+                  use_base_cg=use_base_cg)
     bufs = jnp.asarray(np.stack([b for b, _ in wires]))
-    per = [_fused_api0_p010_delta7(bufs[i], **common)
-           for i in range(len(imgs))]
+    if mode[0] == "vw":
+        per = [_fused_api0_p010_vw(bufs[i], **common)
+               for i in range(len(imgs))]
+    else:
+        common.update(wire_2d=mode[0], wire_bits=mode[1], wire_cap=mode[2])
+        per = [_fused_api0_p010_delta7(bufs[i], **common)
+               for i in range(len(imgs))]
     words, blen_all = _stitch_image_streams(tuple(w for w, _ in per),
                                             tuple(b for _, b in per))
     return words, blen_all, scale, use_base_cg

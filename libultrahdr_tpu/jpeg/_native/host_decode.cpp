@@ -77,6 +77,32 @@ inline uint8_t clamp_u8i(int32_t v) {
   return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
 }
 
+// Wrapping scalar islow block IDCT over natural-order dequantized D
+// (exact integers held in f64).  int64 accumulate then int32 cast =
+// mod-2^32 wrap, exactly libjpeg's int arithmetic on overflow — this is
+// both the non-AVX2 engine and the AVX2 path's overflow fallback (the
+// vector path's cvtpd_epi32 would saturate instead of wrap).
+inline void idct_block_scalar_i(const double* D, const int32_t M[8][8],
+                                int umax, int vmax, uint8_t* dst,
+                                int64_t out_stride) {
+  int32_t T[64];
+  for (int n = 0; n < 8; n++)
+    for (int v = 0; v < 8; v++) {
+      int64_t acc = 0;
+      for (int u = 0; u <= umax; u++)
+        acc += (int64_t)M[n][u] * (int64_t)D[u * 8 + v];
+      T[n * 8 + v] = (int32_t)(acc + (1 << 10)) >> 11;
+    }
+  for (int y = 0; y < 8; y++)
+    for (int x = 0; x < 8; x++) {
+      int64_t acc = 0;
+      for (int v = 0; v <= vmax; v++)
+        acc += (int64_t)M[x][v] * (int64_t)T[y * 8 + v];
+      dst[y * out_stride + x] =
+          clamp_u8i(((int32_t)(acc + (1 << 17)) >> 18) + 128);
+    }
+}
+
 }  // namespace
 
 // libjpeg jdcolor.c ycc_rgb_convert fixed point, SCALEBITS=16: the exact
@@ -242,11 +268,26 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
         if (v > vmax) vmax = v;
       }
       for (int i = 0; i < 64; i++) D[i] = 0.0;
-      for (int zz = 0; zz <= last; zz++)
-        D[kZigzagToNatural[zz]] =
-            (double)((int32_t)src[zz] * dq[zz]);
+      double max_abs_d = 0.0;
+      for (int zz = 0; zz <= last; zz++) {
+        double d = (double)((int32_t)src[zz] * dq[zz]);
+        D[kZigzagToNatural[zz]] = d;
+        double a = d < 0.0 ? -d : d;
+        if (a > max_abs_d) max_abs_d = a;
+      }
 #if defined(__AVX2__) && defined(__FMA__)
       {
+        // |row sum| <= max|D| * max_n sum_u|M[n][u]| (= 61219 for islow).
+        // cvtpd_epi32 saturates outside int32 while every integer engine
+        // wraps mod 2^32; route blocks whose exact f64 sums could leave
+        // int32 (adversarial streams only — valid JPEG never gets close)
+        // through the wrapping scalar path so all builds stay bit-equal.
+        const double bound1 = max_abs_d * 61219.0;
+        const double tbound = bound1 / 2048.0 + 2.0;
+        if (bound1 >= 2146000000.0 || tbound * 61219.0 >= 2146000000.0) {
+          idct_block_scalar_i(D, kIslowM, umax, vmax, dst, out_stride);
+          continue;
+        }
         // pass 1 (columns): T[n][v] = (sum_u M[n][u] * D[u][v] + 2^10)>>11
         const __m128i r1 = _mm_set1_epi32(1 << 10);
         for (int n = 0; n < 8; n++) {
@@ -296,21 +337,7 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
         }
       }
 #else
-      for (int n = 0; n < 8; n++)
-        for (int v = 0; v < 8; v++) {
-          int64_t acc = 0;
-          for (int u = 0; u <= umax; u++)
-            acc += (int64_t)kIslowM[n][u] * (int64_t)D[u * 8 + v];
-          T[n * 8 + v] = (int32_t)(acc + (1 << 10)) >> 11;
-        }
-      for (int y = 0; y < 8; y++)
-        for (int x = 0; x < 8; x++) {
-          int64_t acc = 0;
-          for (int v = 0; v <= vmax; v++)
-            acc += (int64_t)kIslowM[x][v] * (int64_t)T[y * 8 + v];
-          dst[y * out_stride + x] =
-              clamp_u8i(((int32_t)(acc + (1 << 17)) >> 18) + 128);
-        }
+      idct_block_scalar_i(D, kIslowM, umax, vmax, dst, out_stride);
 #endif
     }
   }

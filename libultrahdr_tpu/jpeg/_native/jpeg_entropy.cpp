@@ -318,7 +318,11 @@ int64_t uhdr_pack_delta_g(const uint16_t* in, int64_t rows, int64_t cols,
           prev_row[(size_t)c] = v;
         }
         int32_t& prev = (uv_interleaved && (c & 1)) ? prev1 : prev0;
-        int32_t d = t - prev;
+        // mod-2^16 delta, matching the AVX2 i16-lane path bit for bit:
+        // escape detection and escape values are then build-independent
+        // (the reconstruction cumsums in int32 and casts to uint16, so
+        // wrapped deltas decode to the same samples)
+        int32_t d = (int16_t)(uint16_t)(uint32_t)(t - prev);
         prev = t;
         int32_t s = d + offs;
         if ((uint32_t)s <= lim) {
@@ -376,6 +380,152 @@ int64_t uhdr_pack_delta7(const uint16_t* in, int64_t rows, int64_t cols,
                          int64_t esc_cap) {
   return uhdr_pack_delta(in, rows, cols, uv_interleaved, 0, 7, out_words,
                          esc_idx, esc_val, esc_cap);
+}
+
+// --------------------------------------------------------------------------
+// Variable-width group wire ("vw"): the upload codec that replaced the
+// fixed-rung ladder.  2D prediction (vertical then per-channel horizontal
+// delta, exactly uhdr_pack_delta_g's two_d semantics), then each group of
+// 32 residuals is bit-sliced at its OWN width w in 0..12 (the exact signed
+// bits its min/max need; w=0 encodes an all-zero group with zero payload
+// words).  No escape lists: every residual of a >>shift-reduced sample
+// fits w<=18-shift<=15, so the wire ALWAYS fits — flat content costs ~0.15
+// bits/sample, photographic content its local entropy, and one program
+// serves every content type (the TPU-side unpack gathers per-group words
+// via a cumsum of the width array).  Widths pack 8-per-u32 (4 bits each).
+// Returns the payload word count, -1 if it would exceed payload_cap, -2 on
+// unsupported shift (<3 would need widths >15).
+
+static void uhdr_resid2d(const uint16_t* in, int64_t rows, int64_t cols,
+                         int uv_interleaved, int shift, int32_t base,
+                         int16_t* res) {
+  const int stride = uv_interleaved ? 2 : 1;
+#if defined(__AVX2__)
+  if (cols >= 16) {
+    std::vector<int16_t> prevrow((size_t)cols, (int16_t)base);
+    std::vector<int16_t> tbuf((size_t)cols + 2);
+    const __m128i vshift = _mm_cvtsi32_si128(shift);
+    for (int64_t r = 0; r < rows; r++) {
+      const uint16_t* src = in + r * cols;
+      int16_t* t = tbuf.data() + 2;
+      t[-1] = t[-2] = 0;
+      int64_t c = 0;
+      for (; c + 16 <= cols; c += 16) {
+        __m256i v = _mm256_srl_epi16(
+            _mm256_loadu_si256((const __m256i*)(src + c)), vshift);
+        __m256i pv =
+            _mm256_loadu_si256((const __m256i*)(&prevrow[(size_t)c]));
+        _mm256_storeu_si256((__m256i*)(t + c), _mm256_sub_epi16(v, pv));
+        _mm256_storeu_si256((__m256i*)(&prevrow[(size_t)c]), v);
+      }
+      for (; c < cols; c++) {
+        int16_t v = (int16_t)(src[c] >> shift);
+        t[c] = (int16_t)(v - prevrow[(size_t)c]);
+        prevrow[(size_t)c] = v;
+      }
+      int16_t* dst = res + r * cols;
+      for (c = 0; c + 16 <= cols; c += 16) {
+        __m256i tc = _mm256_loadu_si256((const __m256i*)(t + c));
+        __m256i tp = _mm256_loadu_si256((const __m256i*)(t + c - stride));
+        _mm256_storeu_si256((__m256i*)(dst + c), _mm256_sub_epi16(tc, tp));
+      }
+      for (; c < cols; c++) dst[c] = (int16_t)(t[c] - t[c - stride]);
+    }
+    return;
+  }
+#endif
+  std::vector<int32_t> prev_row((size_t)cols, base);
+  for (int64_t r = 0; r < rows; r++) {
+    const uint16_t* src = in + r * cols;
+    int16_t* dst = res + r * cols;
+    int32_t prev0 = 0, prev1 = 0;
+    for (int64_t c = 0; c < cols; c++) {
+      int32_t v = src[c] >> shift;
+      int32_t t = v - prev_row[(size_t)c];
+      prev_row[(size_t)c] = v;
+      int32_t& prev = (uv_interleaved && (c & 1)) ? prev1 : prev0;
+      dst[c] = (int16_t)(t - prev);
+      prev = t;
+    }
+  }
+}
+
+int64_t uhdr_pack_vw(const uint16_t* in, int64_t rows, int64_t cols,
+                     int uv_interleaved, int shift, int32_t base,
+                     uint32_t* width_words, uint32_t* payload,
+                     int64_t payload_cap) {
+  if (shift < 3 || shift > 6) return -2;
+  const int64_t n = rows * cols;
+  const int64_t G = (n + 31) / 32;
+  std::vector<int16_t> res((size_t)(G * 32), 0);
+  uhdr_resid2d(in, rows, cols, uv_interleaved, shift, base, res.data());
+  std::memset(width_words, 0, (size_t)((G + 7) / 8) * 4);
+  int64_t off = 0;
+  for (int64_t g = 0; g < G; g++) {
+    const int16_t* d = res.data() + g * 32;
+#if defined(__AVX2__)
+    __m256i d0 = _mm256_loadu_si256((const __m256i*)d);
+    __m256i d1 = _mm256_loadu_si256((const __m256i*)(d + 16));
+    __m256i mx8 = _mm256_max_epi16(d0, d1);
+    __m256i mn8 = _mm256_min_epi16(d0, d1);
+    __m128i mx4 = _mm_max_epi16(_mm256_castsi256_si128(mx8),
+                                _mm256_extracti128_si256(mx8, 1));
+    __m128i mn4 = _mm_min_epi16(_mm256_castsi256_si128(mn8),
+                                _mm256_extracti128_si256(mn8, 1));
+    mx4 = _mm_max_epi16(mx4, _mm_srli_si128(mx4, 8));
+    mn4 = _mm_min_epi16(mn4, _mm_srli_si128(mn4, 8));
+    mx4 = _mm_max_epi16(mx4, _mm_srli_si128(mx4, 4));
+    mn4 = _mm_min_epi16(mn4, _mm_srli_si128(mn4, 4));
+    mx4 = _mm_max_epi16(mx4, _mm_srli_si128(mx4, 2));
+    mn4 = _mm_min_epi16(mn4, _mm_srli_si128(mn4, 2));
+    int32_t mx = (int16_t)_mm_cvtsi128_si32(mx4);
+    int32_t mn = (int16_t)_mm_cvtsi128_si32(mn4);
+#else
+    int32_t mx = d[0], mn = d[0];
+    for (int i = 1; i < 32; i++) {
+      if (d[i] > mx) mx = d[i];
+      if (d[i] < mn) mn = d[i];
+    }
+#endif
+    int w = 0;
+    if (mx | mn) {
+      int32_t m = mx > (-mn - 1) ? mx : (-mn - 1);
+      w = 1;
+      while (m >= (1 << (w - 1))) w++;
+    }
+    width_words[g >> 3] |= (uint32_t)w << (4 * (g & 7));
+    if (!w) continue;
+    if (off + w > payload_cap) return -1;
+#if defined(__AVX2__)
+    {
+      const __m256i bias = _mm256_set1_epi16((short)(1 << (w - 1)));
+      __m256i s0 = _mm256_add_epi16(
+          _mm256_loadu_si256((const __m256i*)d), bias);
+      __m256i s1 = _mm256_add_epi16(
+          _mm256_loadu_si256((const __m256i*)(d + 16)), bias);
+      for (int b = 0; b < w; b++) {
+        __m256i t0 = _mm256_srai_epi16(_mm256_slli_epi16(s0, 15 - b), 15);
+        __m256i t1 = _mm256_srai_epi16(_mm256_slli_epi16(s1, 15 - b), 15);
+        __m256i p = _mm256_packs_epi16(t0, t1);
+        p = _mm256_permute4x64_epi64(p, 0xD8);
+        payload[off + b] = (uint32_t)_mm256_movemask_epi8(p);
+      }
+    }
+#else
+    {
+      const int32_t bias = 1 << (w - 1);
+      uint32_t wbuf[16];
+      for (int b = 0; b < w; b++) wbuf[b] = 0;
+      for (int i = 0; i < 32; i++) {
+        uint32_t s = (uint32_t)(d[i] + bias);
+        for (int b = 0; b < w; b++) wbuf[b] |= ((s >> b) & 1u) << i;
+      }
+      for (int b = 0; b < w; b++) payload[off + b] = wbuf[b];
+    }
+#endif
+    off += w;
+  }
+  return off;
 }
 
 // Bit-slice a flat int16 stream at `bits` per sample (no prediction) with

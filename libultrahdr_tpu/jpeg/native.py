@@ -81,6 +81,11 @@ def get_lib():
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_int64]
+            lib.uhdr_pack_vw.restype = ctypes.c_int64
+            lib.uhdr_pack_vw.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
             lib.uhdr_pack_slices.restype = ctypes.c_int64
             lib.uhdr_pack_slices.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
@@ -406,6 +411,24 @@ def pack_delta_g_into(plane_u16: np.ndarray, words: np.ndarray,
                               esc_idx.ctypes.data, esc_val32.ctypes.data,
                               esc_idx.size)
     return n >= 0
+
+
+def pack_vw_into(plane: np.ndarray, uv_interleaved: bool,
+                 width_words: np.ndarray, payload: np.ndarray, *,
+                 shift: int = 6, base: int = 512) -> int | None:
+    """Variable-width group wire pack (uhdr_pack_vw): 2D-predicted
+    residuals, each 32-sample group bit-sliced at its own exact width
+    (0..12, packed 4 bits/group into width_words).  Always fits — no
+    escape lists, no rung ladder.  Returns the payload word count (the
+    live prefix of `payload`), or None only if payload is under-sized."""
+    lib = get_lib()
+    p = np.ascontiguousarray(plane, np.uint16)
+    rows, cols = p.shape
+    n = lib.uhdr_pack_vw(p.ctypes.data, rows, cols,
+                         int(bool(uv_interleaved)), int(shift), int(base),
+                         width_words.ctypes.data, payload.ctypes.data,
+                         payload.size)
+    return int(n) if n >= 0 else None
 
 
 def pack_slices_into(flat_i16: np.ndarray, bits: int, words: np.ndarray,

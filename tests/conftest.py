@@ -13,9 +13,16 @@ the environment.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# keep the persistent compile cache out of hermetic CPU tests (it exists
-# for the slow remote TPU compiles; on CPU it only adds AOT-reload noise)
-os.environ.setdefault("UHDR_TPU_NO_CACHE", "1")
+# Persistent compile cache ON for tests, in its own directory (separate
+# from the TPU program cache): the full 437-test tier recompiles the same
+# CPU programs in every process and did not finish in <55 min on a 1-core
+# host without it.  Hermeticity comes from XLA's cache KEY (serialized
+# HLO + compile options + backend + jax version), not from disabling the
+# cache: any source change that alters a traced program changes its HLO
+# and therefore its key.  UHDR_TPU_NO_CACHE=1 still opts out.
+os.environ.setdefault(
+    "UHDR_TPU_CACHE_DIR",
+    os.path.expanduser("~/.cache/uhdr_jax_cache_cpu_tests"))
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (

@@ -104,3 +104,87 @@ class TestDecodeBatch:
                 data, output_ct=ColorTransfer.LINEAR)
             np.testing.assert_array_equal(np.asarray(arr),
                                           np.asarray(ref_arr))
+
+
+class TestDecodeMicrobatcher:
+    """decode_to_device's transparent request coalescing (the TPU-serving
+    default since round 5): concurrent callers must ride ONE
+    decode_to_device_batch dispatch and every caller must receive exactly
+    the per-image path's bytes."""
+
+    def _enc(self, w, h, seed):
+        rs = np.random.RandomState(seed)
+        y = (rs.randint(0, 1024, (h, w)).astype(np.uint16) << 6)
+        uv = (rs.randint(200, 800, (h // 2, w)).astype(np.uint16) << 6)
+        img = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                       ColorRange.FULL, w, h, [y, uv])
+        return JpegR(map_dimension_scale_factor=2,
+                     preset=EncPreset.REALTIME).encode_api0(img, quality=92)
+
+    def test_concurrent_callers_coalesce(self, monkeypatch):
+        import threading
+        streams = [self._enc(96, 64, s) for s in range(4)]
+        jr = JpegR()
+        calls = []
+        real_batch = JpegR.decode_to_device_batch
+
+        def spy(self_, xs, *a, **k):
+            calls.append(len(xs))
+            return real_batch(self_, xs, *a, **k)
+
+        monkeypatch.setattr(JpegR, "decode_to_device_batch", spy)
+        ready = threading.Barrier(4)
+        outs = [None] * 4
+
+        def worker(i):
+            ready.wait()
+            outs[i] = jr.decode_to_device(streams[i],
+                                          output_ct=ColorTransfer.HLG)
+
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        # all four landed in one window -> one batch dispatch of size 4
+        assert calls and max(calls) >= 2, calls
+        for i, (arr, md) in enumerate(outs):
+            ref_arr, ref_md = jr.decode_to_device(
+                streams[i], output_ct=ColorTransfer.HLG, microbatch=False)
+            np.testing.assert_array_equal(np.asarray(arr),
+                                          np.asarray(ref_arr))
+            assert md.hdr_capacity_max == ref_md.hdr_capacity_max
+
+    def test_single_caller_still_works(self):
+        data = self._enc(96, 64, 7)
+        jr = JpegR()
+        arr, md = jr.decode_to_device(data, output_ct=ColorTransfer.PQ)
+        ref, _ = jr.decode_to_device(data, output_ct=ColorTransfer.PQ,
+                                     microbatch=False)
+        np.testing.assert_array_equal(np.asarray(arr), np.asarray(ref))
+
+    def test_error_isolation(self):
+        """A broken stream next to a good one: the good caller succeeds,
+        the bad one gets its own exception."""
+        import threading
+        good = self._enc(96, 64, 8)
+        bad = good[:600] + b"\x00" * 40 + good[640:]
+        jr = JpegR()
+        res = {}
+        ready = threading.Barrier(2)
+
+        def worker(name, data):
+            ready.wait()
+            try:
+                res[name] = jr.decode_to_device(data,
+                                                output_ct=ColorTransfer.HLG)
+            except Exception as e:  # noqa: BLE001
+                res[name] = e
+
+        ts = [threading.Thread(target=worker, args=("good", good)),
+              threading.Thread(target=worker, args=("bad", bad))]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not isinstance(res["good"], Exception)

@@ -28,7 +28,8 @@ import pytest
 
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
 NAMES = sorted(os.path.splitext(os.path.basename(p))[0]
-               for p in glob.glob(os.path.join(GOLDENS, "*.npz")))
+               for p in glob.glob(os.path.join(GOLDENS, "*.npz"))
+               if not os.path.basename(p).startswith("effects_"))
 
 assert NAMES, "tests/goldens/*.npz missing from the checkout"
 
@@ -166,3 +167,76 @@ def test_xmp_and_iso_goldens_both_present():
                               ["config"]).decode())["metadata"]
              for n in NAMES}
     assert kinds == {"iso", "xmp"}
+
+
+# ---------------------------------------------------------------------------
+# Editor pixel parity vs reference-produced effect rasters
+# (tests/editorhelper_test.cpp role: rotate/mirror/crop/resize validated
+# against expected output buffers; lib/src/editorhelper.cpp:100-146 bicubic,
+# ultrahdr_api.cpp:275-415 decode-side effect queue).
+
+_EFFECTS_NPZ = os.path.join(GOLDENS, "effects_p010_iso_single_s4.npz")
+_EFFECT_NAMES = ["rot90", "rot180", "rot270", "mirror_v", "mirror_h",
+                 "crop", "resize_half", "resize_odd", "rot90_mirror_h"]
+
+
+def _queue_effects(dec, name):
+    cfg = {
+        "rot90": [("rotate", (90,))],
+        "rot180": [("rotate", (180,))],
+        "rot270": [("rotate", (270,))],
+        "mirror_v": [("mirror", (0,))],
+        "mirror_h": [("mirror", (1,))],
+        "crop": [("crop", (16, 240, 8, 152))],
+        "resize_half": [("resize", (128, 80))],
+        "resize_odd": [("resize", (100, 60))],
+        "rot90_mirror_h": [("rotate", (90,)), ("mirror", (1,))],
+    }[name]
+    for kind, args in cfg:
+        getattr(dec, f"add_effect_{kind}")(*args)
+
+
+def _decode_with_effects(data, name, ct, fmt):
+    from libultrahdr_tpu.api import UhdrDecoder
+    dec = UhdrDecoder()
+    dec.set_image(data)
+    dec.set_out_color_transfer(ct)
+    dec.set_out_img_format(fmt)
+    _queue_effects(dec, name)
+    return np.asarray(dec.decode().planes[0])
+
+
+@pytest.mark.skipif(not os.path.exists(_EFFECTS_NPZ),
+                    reason="effects golden fixture missing")
+@pytest.mark.parametrize("name", _EFFECT_NAMES)
+def test_effect_parity_srgb(name):
+    """SRGB path: decode is bit-exact to libjpeg, and rotate/mirror/crop
+    are pure index permutations — these must match the reference's pixels
+    EXACTLY; resize (float bicubic) gets a >=50 dB gate."""
+    from libultrahdr_tpu.types import ColorTransfer, ImgFmt
+    z = np.load(_EFFECTS_NPZ)
+    ours = _decode_with_effects(bytes(z["jpegr"]), name,
+                                ColorTransfer.SRGB, ImgFmt.RGBA8888)
+    ref = z[f"{name}_srgb"]
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    if "resize" in name:
+        assert _psnr_8888(ours, ref) >= 50.0
+    else:
+        np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.skipif(not os.path.exists(_EFFECTS_NPZ),
+                    reason="effects golden fixture missing")
+@pytest.mark.parametrize("name", _EFFECT_NAMES)
+def test_effect_parity_hlg(name):
+    """HLG/1010102 path: two decoders (>=60 dB contract) + the effect;
+    permutation effects keep the 60 dB floor, resize gets 50 dB (bicubic
+    on split channels both sides, float rounding differs)."""
+    from libultrahdr_tpu.types import ColorTransfer, ImgFmt
+    z = np.load(_EFFECTS_NPZ)
+    ours = _decode_with_effects(bytes(z["jpegr"]), name,
+                                ColorTransfer.HLG, ImgFmt.RGBA1010102)
+    ref = z[f"{name}_hlg"]
+    assert ours.shape == ref.shape, (ours.shape, ref.shape)
+    gate = 50.0 if "resize" in name else 60.0
+    assert _psnr_1010102(ours, ref) >= gate

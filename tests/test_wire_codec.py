@@ -801,3 +801,89 @@ def test_rgb_wire_ladder_fallback_on_sharp_content():
                preset=EncPreset.REALTIME)
     blob = jr.encode_api0(img, quality=92)
     assert blob[:2] == b"\xff\xd8"
+
+
+# ---------------------------------------------------------------------------
+# Variable-width group wire ("vw", the round-5 default upload codec:
+# jpeg_entropy.cpp uhdr_pack_vw + fused._vw_decode_planes)
+
+
+def _vw_scene(h, w, seed=0, hot=True):
+    """Mixed-entropy planes: smooth regions (w≈0-2 groups), grain
+    (mid widths), and hot blocks driving groups to the max width."""
+    rs = np.random.RandomState(seed)
+    y = _smooth_plane(h, w, seed=seed)
+    if hot:
+        n = (y >> 6).astype(np.int32)
+        n[h // 4::h // 3, :] = rs.randint(0, 1024, (len(n[h // 4::h // 3]),
+                                                    w))
+        y = (np.clip(n, 0, 1023).astype(np.uint16) << 6)
+    u = _smooth_plane(h // 2, w // 2, seed=seed + 1, edges=False)
+    v = _smooth_plane(h // 2, w // 2, seed=seed + 2)
+    uv = np.empty((h // 2, w), np.uint16)
+    uv[:, 0::2] = u
+    uv[:, 1::2] = v
+    return y, uv
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("dims", [(H, W), (126, 94), (31, 50)])
+def test_vw_wire_roundtrip(dims):
+    h, w = dims
+    y, uv = _vw_scene(h if h % 2 == 0 else h + 1, w if w % 2 == 0 else w)
+    h, w = y.shape
+    buf, mode = fused.pack_vw_wire(y, uv)
+    assert buf is not None and mode[0] == "vw" and mode[1] == buf.size
+    yd, uvd = fused._vw_decode_planes(jnp.asarray(buf), h, w)
+    np.testing.assert_array_equal(np.asarray(yd), y & np.uint16(0xFFC0))
+    np.testing.assert_array_equal(np.asarray(uvd), uv & np.uint16(0xFFC0))
+
+
+@pytest.mark.smoke
+def test_vw_wire_never_overflows_on_noise():
+    # full-range noise defeats every fixed rung; vw must still fit (and
+    # cost <= ~12.2 bits/sample + headers)
+    rs = np.random.RandomState(3)
+    y = (rs.randint(0, 1024, (H, W)).astype(np.uint16) << 6)
+    uv = (rs.randint(0, 1024, (H // 2, W)).astype(np.uint16) << 6)
+    buf, mode = fused.pack_vw_wire(y, uv)
+    assert buf is not None
+    yd, uvd = fused._vw_decode_planes(jnp.asarray(buf), H, W)
+    np.testing.assert_array_equal(np.asarray(yd), y)
+    np.testing.assert_array_equal(np.asarray(uvd), uv)
+
+
+@pytest.mark.smoke
+def test_vw_wire_flat_content_is_tiny():
+    y = np.full((H, W), 512 << 6, np.uint16)
+    uv = np.full((H // 2, W), 512 << 6, np.uint16)
+    buf, _ = fused.pack_vw_wire(y, uv)
+    gy, guv, wyw, wuvw = fused._vw_header_words(H, W)
+    # all-zero groups: payload is empty, only the width headers (+ bucket
+    # padding, which this assertion deliberately looks through)
+    total = wyw + wuvw
+    assert np.count_nonzero(buf[total:]) == 0
+    yd, uvd = fused._vw_decode_planes(jnp.asarray(buf), H, W)
+    np.testing.assert_array_equal(np.asarray(yd), y)
+
+
+def test_vw_is_default_auto_mode(monkeypatch):
+    monkeypatch.delenv("UHDR_TPU_WIRE", raising=False)
+    y, uv = _vw_scene(H, W)
+    buf, mode = fused._pack_wire_auto(y, uv)
+    assert mode[0] == "vw"
+
+
+def test_vw_encode_byte_identical_to_ladder(monkeypatch):
+    """The wire is a pure transport: fused encode output bytes must not
+    depend on which upload wire carried the input."""
+    y, uv = _vw_scene(H, W, hot=False)
+    img = RawImage(ImgFmt.P010, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, W, H, [y, uv])
+    jr = JpegR(map_dimension_scale_factor=4,
+               use_multi_channel_gainmap=False, preset=EncPreset.REALTIME)
+    monkeypatch.setenv("UHDR_TPU_WIRE", "vw")
+    a = fused.encode_api0_p010_pipelined(jr, [img])[0]
+    monkeypatch.setenv("UHDR_TPU_WIRE", "1d7")
+    b = fused.encode_api0_p010_pipelined(jr, [img])[0]
+    assert a == b

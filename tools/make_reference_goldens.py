@@ -73,6 +73,12 @@ def _bind(path):
         ("uhdr_dec_set_out_color_transfer", [ctypes.c_void_p, ctypes.c_int]),
         ("uhdr_dec_set_out_img_format", [ctypes.c_void_p, ctypes.c_int]),
         ("uhdr_decode", [ctypes.c_void_p]),
+        ("uhdr_add_effect_mirror", [ctypes.c_void_p, ctypes.c_int]),
+        ("uhdr_add_effect_rotate", [ctypes.c_void_p, ctypes.c_int]),
+        ("uhdr_add_effect_crop", [ctypes.c_void_p, ctypes.c_int,
+                                  ctypes.c_int, ctypes.c_int, ctypes.c_int]),
+        ("uhdr_add_effect_resize", [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_int]),
     ]:
         fn = getattr(lib, name)
         fn.restype = _ErrorInfo
@@ -113,7 +119,7 @@ def _ref_encode(lib, planes, fmt, ct, cg, rng, cfg):
     return data
 
 
-def _ref_decode(lib, data, ct, fmt):
+def _ref_decode(lib, data, ct, fmt, effects=()):
     dec = lib.uhdr_create_decoder()
     buf = ctypes.create_string_buffer(data, len(data))
     comp = _Compressed(ctypes.cast(buf, ctypes.c_void_p), len(data),
@@ -121,6 +127,9 @@ def _ref_decode(lib, data, ct, fmt):
     _ck(lib.uhdr_dec_set_image(dec, ctypes.byref(comp)), "dec set")
     _ck(lib.uhdr_dec_set_out_color_transfer(dec, ct), "dec ct")
     _ck(lib.uhdr_dec_set_out_img_format(dec, fmt), "dec fmt")
+    for kind, args in effects:
+        fn = getattr(lib, f"uhdr_add_effect_{kind}")
+        _ck(fn(dec, *args), f"effect {kind}")
     _ck(lib.uhdr_decode(dec), "decode")
     img = lib.uhdr_get_decoded_image(dec).contents
     bpp = 8 if fmt == 4 else 4
@@ -166,7 +175,44 @@ def main():
          dict(quality=95, map_quality=85, multi=False, scale=4, gamma=1.0, preset=1)),
     ]
 
+    # decode-side effect parity rasters (tests/editorhelper_test.cpp role:
+    # rotate/mirror/crop/resize validated against reference-produced
+    # pixels; lib/src/editorhelper.cpp:100-146 bicubic, 210-483 apply_*).
+    # Applied post-decode through the reference decoder's effect queue
+    # (ultrahdr_api.cpp:275-415), captured for SRGB/8888 and HLG/1010102.
+    effect_cfgs = [
+        ("rot90", [("rotate", (90,))]),
+        ("rot180", [("rotate", (180,))]),
+        ("rot270", [("rotate", (270,))]),
+        ("mirror_v", [("mirror", (0,))]),
+        ("mirror_h", [("mirror", (1,))]),
+        ("crop", [("crop", (16, 240, 8, 152))]),
+        ("resize_half", [("resize", (128, 80))]),
+        ("resize_odd", [("resize", (100, 60))]),
+        ("rot90_mirror_h", [("rotate", (90,)), ("mirror", (1,))]),
+    ]
+    eff_cfg = dict(quality=95, map_quality=85, multi=False, scale=4,
+                   gamma=1.0, preset=1)
+    planes = [np.ascontiguousarray(p) for p in base.planes]
+    data = _ref_encode(iso, planes, 0, 1, 2, 1, eff_cfg)
+    entry = {"jpegr": np.frombuffer(data, np.uint8),
+             "config": np.frombuffer(json.dumps(
+                 dict(eff_cfg, fmt=0, ct=1, cg=2, range=1, w=W, h=H,
+                      effects=[(n, e) for n, e in effect_cfgs])).encode(),
+                 np.uint8)}
+    for name, effs in effect_cfgs:
+        entry[f"{name}_srgb"] = _ref_decode(iso, data, 3, 3, effs)
+        entry[f"{name}_hlg"] = _ref_decode(iso, data, 1, 5, effs)
+    path = os.path.join(OUT, "effects_p010_iso_single_s4.npz")
+    np.savez_compressed(path, **entry)
+    print(f"effects fixture: {len(effect_cfgs)} configs, "
+          f"npz={os.path.getsize(path)}B")
+
     for name, lib, meta_kind, img, fmt, ct, cg, rng, cfg in cfgs:
+        if (os.path.exists(os.path.join(OUT, f"{name}.npz"))
+                and "--force" not in sys.argv):
+            print(f"{name}: exists, skipping (--force regenerates)")
+            continue
         planes = [np.ascontiguousarray(p) for p in img.planes]
         data = _ref_encode(lib, planes, fmt, ct, cg, rng, cfg)
         entry = {

@@ -25,7 +25,8 @@ APP = pathlib.Path("/tmp/refbuild/ultrahdr_app")
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="grainy", choices=["grainy", "mosaic"])
+    ap.add_argument("--scene", default="grainy",
+                    choices=["grainy", "mosaic", "photo"])
     ap.add_argument("--wh", default="3840x2160")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--quality", type=int, default=95)
@@ -35,8 +36,9 @@ def main(argv=None):
     w, h = (int(x) for x in args.wh.split("x"))
 
     sys.path.insert(0, str(REPO))
-    from benchmarks import grainy_p010, natural_p010
-    img = (grainy_p010 if args.scene == "grainy" else natural_p010)(w, h)
+    from benchmarks import grainy_p010, natural_p010, photo_p010
+    img = {"grainy": grainy_p010, "mosaic": natural_p010,
+           "photo": photo_p010}[args.scene](w, h)
     raw = pathlib.Path(f"/tmp/ref_{args.scene}_{w}x{h}.p010")
     np.concatenate([img.planes[0].ravel(),
                     img.planes[1].ravel()]).tofile(raw)
