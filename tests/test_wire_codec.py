@@ -141,8 +141,12 @@ def test_wire_mode_parse(monkeypatch):
     monkeypatch.setenv("UHDR_TPU_WIRE", "garbage")
     assert fused._wire_mode() == (fused._WIRE_1D7,)
     monkeypatch.delenv("UHDR_TPU_WIRE")
-    assert fused._wire_mode() == fused._WIRE_LADDER
+    # default since round 5: the variable-width group wire first, with the
+    # fixed rung ladder as the safety net
+    assert fused._wire_mode() == ("vw",) + fused._WIRE_LADDER
     assert fused._WIRE_LADDER[0] == (True, 2, 8192)
+    monkeypatch.setenv("UHDR_TPU_WIRE", "vw")
+    assert fused._wire_mode() == ("vw",)
 
 
 def _rgba1010102_img(seed=40):
