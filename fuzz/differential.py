@@ -29,6 +29,15 @@ HERE = pathlib.Path(__file__).resolve().parent
 REPO = HERE.parent
 sys.path.insert(0, str(REPO))
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Pin the reference's libjpeg-turbo to its plain-C islow IDCT: the
+# turbo SIMD IDCTs (AVX2/SSE2/NEON) diverge from the C islow — and from
+# each other — on corrupt streams whose coefficients leave the legal
+# range (16-bit internal arithmetic vs the C path's int32 + range_limit
+# wrap), so "the reference's output" is only build-independent with SIMD
+# off.  Our decoder is bit-exact to the C islow (jpeg/dct.py
+# idct8x8_islow + range_limit), making the 40 dB PSNR oracle a real
+# bit-exactness gate instead of a SIMD-flavor lottery.
+os.environ["JSIMD_FORCENONE"] = "1"
 # sitecustomize may pre-register the TPU plugin and pin the axon
 # backend; force CPU through jax.config too (same mechanism as
 # tests/conftest.py) so fuzzing never touches — or hangs on — the

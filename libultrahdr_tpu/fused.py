@@ -2050,7 +2050,8 @@ def decode_coefficients(data: bytes, info):
     ac = [info.ac_tables.get(i) for i in range(4)]
     coeffs, _ = jnative.decode_scan(data[info.scan_offset:], comps, mcus_w,
                                     mcus_h, dc, ac, info.restart_interval)
-    qts = [np.asarray(info.qtables[c.qtbl], np.int32)
+    from .jpeg.decoder import require_qtable
+    qts = [np.asarray(require_qtable(info, c), np.int32)
            for c in info.components]
     return coeffs, qts, fmt
 

@@ -77,6 +77,19 @@ inline uint8_t clamp_u8i(int32_t v) {
   return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
 }
 
+// libjpeg's post-IDCT range_limit table (jdmaster.c
+// prepare_range_limit_table) as a closed form over v = IDCT output + 128:
+// index m = v & RANGE_MASK(1023), then m<256 -> m, m<640 -> 255, else 0.
+// Identical to clamp_u8i for in-range samples; on corrupt streams whose
+// IDCT outputs leave [-128, 511] it reproduces libjpeg's wrap exactly
+// (mapping verified empirically against libjpeg-turbo's C islow across
+// all 1024 residues).  jdcolor's sample_range_limit indexing stays pure
+// saturation — only IDCT outputs go through this table.
+inline uint8_t idct_range_limit(int32_t v) {
+  int32_t m = v & 1023;
+  return (uint8_t)(m < 256 ? m : (m < 640 ? 255 : 0));
+}
+
 // Wrapping scalar islow block IDCT over natural-order dequantized D
 // (exact integers held in f64).  int64 accumulate then int32 cast =
 // mod-2^32 wrap, exactly libjpeg's int arithmetic on overflow — this is
@@ -99,7 +112,7 @@ inline void idct_block_scalar_i(const double* D, const int32_t M[8][8],
       for (int v = 0; v <= vmax; v++)
         acc += (int64_t)M[x][v] * (int64_t)T[y * 8 + v];
       dst[y * out_stride + x] =
-          clamp_u8i(((int32_t)(acc + (1 << 17)) >> 18) + 128);
+          idct_range_limit(((int32_t)(acc + (1 << 17)) >> 18) + 128);
     }
 }
 
@@ -255,7 +268,7 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
         // DC-only: both passes collapse to DESCALE(dc*q, 3) + 128 (pass1
         // shortcut dcval<<2, flat row through pass2).
         uint8_t v8 =
-            clamp_u8i((((int32_t)src[0] * dq[0] + 4) >> 3) + 128);
+            idct_range_limit((((int32_t)src[0] * dq[0] + 4) >> 3) + 128);
         for (int r = 0; r < 8; r++) memset(dst + r * out_stride, v8, 8);
         continue;
       }
@@ -310,7 +323,7 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
         // pass 2 (rows): out[y][x] = ((sum_v M[x][v]*T[y][v] + 2^17)>>18)+128
         const __m128i r2 = _mm_set1_epi32(1 << 17);
         const __m128i c128 = _mm_set1_epi32(128);
-        const __m128i zero4 = _mm_setzero_si128(), max4 = _mm_set1_epi32(255);
+        const __m128i max4 = _mm_set1_epi32(255);
         for (int y = 0; y < 8; y++) {
           // vectorize over x: acc[x] += T[y][v] * M[x][v] -> needs M^T rows
           __m256d lo = _mm256_setzero_pd(), hi = _mm256_setzero_pd();
@@ -329,8 +342,16 @@ extern "C" void uhdr_idct_plane(const int16_t* coeffs, int64_t bh, int64_t bw,
                               c128);
           ihi = _mm_add_epi32(_mm_srai_epi32(_mm_add_epi32(ihi, r2), 18),
                               c128);
-          ilo = _mm_min_epi32(_mm_max_epi32(ilo, zero4), max4);
-          ihi = _mm_min_epi32(_mm_max_epi32(ihi, zero4), max4);
+          // idct_range_limit, vectorized: m = v & 1023;
+          // m<256 -> m, m<640 -> 255, else 0
+          const __m128i mask = _mm_set1_epi32(1023);
+          const __m128i c256 = _mm_set1_epi32(256), c640 = _mm_set1_epi32(640);
+          __m128i mlo = _mm_and_si128(ilo, mask);
+          __m128i mhi = _mm_and_si128(ihi, mask);
+          __m128i slo = _mm_and_si128(_mm_cmplt_epi32(mlo, c640), max4);
+          __m128i shi = _mm_and_si128(_mm_cmplt_epi32(mhi, c640), max4);
+          ilo = _mm_blendv_epi8(slo, mlo, _mm_cmplt_epi32(mlo, c256));
+          ihi = _mm_blendv_epi8(shi, mhi, _mm_cmplt_epi32(mhi, c256));
           __m128i p16 = _mm_packus_epi32(ilo, ihi);
           __m128i p8 = _mm_packus_epi16(p16, p16);
           _mm_storel_epi64((__m128i*)(dst + y * out_stride), p8);

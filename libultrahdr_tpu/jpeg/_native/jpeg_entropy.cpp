@@ -806,25 +806,35 @@ int64_t uhdr_encode_scan(const int16_t** coeffs, const int32_t* comp_meta,
 
 namespace {
 
-// Bit reader over stuffed entropy data.  Stops at any marker except RSTn
-// (which the MCU loop consumes explicitly).
+// Bit reader over stuffed entropy data, bit-exact to libjpeg(-turbo)'s
+// slow-path semantics (jdhuff.c jpeg_fill_bit_buffer) including corrupt
+// streams: fill bytes (runs of FF) before a marker are consumed, FF 00 is
+// a stuffed data FF, EOF synthesizes a fake EOI (jdatasrc.c
+// fill_mem_input_buffer), and once a bit request exceeds the real data
+// the `insufficient` flag latches (JWRN_HIT_MARKER) and the request is
+// satisfied with zero bits.  libjpeg-turbo's fast entropy path is
+// disabled whenever a restart interval is set (jdhuff.c decode_mcu) and
+// otherwise bails to the slow path at any marker, so the slow path IS the
+// reference behavior for every stream this library emits or ingests.
 struct BitReader {
   const uint8_t* data;
   int64_t size;
-  int64_t pos;
-  uint64_t acc;
-  int nbits;
-  bool truncated;
+  int64_t pos;         // next unread byte
+  uint64_t acc;        // left-aligned unconsumed bits; bits below nbits are 0
+  int nbits;           // count of REAL bits in acc (zero fill is virtual)
+  int pending_marker;  // 0 = none; 0xD9 synthesized at EOF
+  bool insufficient;   // latched: a bit request ran past the segment's data
 
-  // Load more bits; at markers feed zero bits (T.81 F.2.2.5 behavior for
-  // truncated data keeps decode bounded).
   static inline bool has_ff(uint64_t v) {
     uint64_t t = v ^ 0xFFFFFFFFFFFFFFFFull;  // FF bytes -> 00
     return ((t - 0x0101010101010101ull) & ~t
             & 0x8080808080808080ull) != 0;
   }
 
+  // Append REAL bytes only — never zero-fills.  Stops after consuming a
+  // marker (its FF fill run + code byte) into pending_marker, or at EOF.
   void fill() {
+    if (pending_marker) return;
     // fast path: next 8 bytes contain no 0xFF (no stuffing, no marker) —
     // bulk-insert as many whole bytes as fit
     if (nbits <= 56 && pos + 8 <= size) {
@@ -841,20 +851,26 @@ struct BitReader {
     }
     while (nbits <= 56) {
       if (pos >= size) {
-        truncated = true;
-        nbits += 8;  // zero fill
-        continue;
+        pending_marker = 0xD9;  // fake EOI, like fill_mem_input_buffer
+        return;
       }
       uint8_t b = data[pos];
       if (b == 0xFF) {
-        if (pos + 1 < size && data[pos + 1] == 0x00) {
-          pos += 2;
+        int64_t p = pos + 1;
+        while (p < size && data[p] == 0xFF) p++;  // FF fill bytes skipped
+        if (p >= size) {
+          pos = size;
+          pending_marker = 0xD9;
+          return;
+        }
+        if (data[p] == 0x00) {  // stuffed data FF
+          pos = p + 1;
           acc |= (uint64_t)0xFF << (56 - nbits);
           nbits += 8;
-        } else {
-          // a real marker: stop feeding (zero fill)
-          truncated = true;
-          nbits += 8;
+        } else {  // a real marker: consume it, stop feeding
+          pending_marker = data[p];
+          pos = p + 1;
+          return;
         }
       } else {
         pos++;
@@ -864,54 +880,176 @@ struct BitReader {
     }
   }
 
-  inline uint32_t peek(int n) {
-    if (nbits < n) fill();
-    return (uint32_t)(acc >> (64 - n));
-  }
-
+  // plain peek/skip: caller guarantees nbits >= n
+  inline uint32_t peek(int n) { return (uint32_t)(acc >> (64 - n)); }
   inline void skip(int n) {
     acc <<= n;
     nbits -= n;
   }
 
-  inline uint32_t get(int n) {
+  // CHECK_BIT_BUFFER(n) + GET_BITS(n) with libjpeg's corrupt-stream
+  // semantics: the request is the latch granularity, and a short read is
+  // padded with zero bits (get_buffer <<= MIN_GET_BITS - bits_left).
+  uint32_t get_exact(int n) {
     if (n == 0) return 0;
-    uint32_t v = peek(n);
-    skip(n);
+    if (nbits < n) {
+      fill();
+      if (nbits < n) {
+        insufficient = true;
+        uint32_t v = (uint32_t)(acc >> (64 - n));  // low bits auto-zero
+        acc <<= n;
+        nbits = 0;
+        return v;
+      }
+    }
+    uint32_t v = (uint32_t)(acc >> (64 - n));
+    acc <<= n;
+    nbits -= n;
     return v;
   }
 
-  void byte_align_and_sync() {
-    // discard partial byte state and resync position to the byte stream
+  inline uint32_t get_bits(int n) {
+    if (n == 0) return 0;
+    if (nbits >= n) {
+      uint32_t v = peek(n);
+      skip(n);
+      return v;
+    }
+    return get_exact(n);
+  }
+
+  // process_restart discard (jdhuff.c: bits_left = 0)
+  inline void discard_bits() {
     acc = 0;
     nbits = 0;
   }
 };
 
+// jdmarker.c next_marker(): skip garbage bytes to the next FF-prefixed
+// marker code; FF 00 is stuffed data (keep scanning), runs of FF are fill
+// bytes; EOF yields the fake EOI that fill_mem_input_buffer synthesizes.
+void next_marker(BitReader& br) {
+  while (br.pos < br.size) {
+    uint8_t c = br.data[br.pos++];
+    if (c != 0xFF) continue;
+    while (br.pos < br.size && br.data[br.pos] == 0xFF) br.pos++;
+    if (br.pos >= br.size) break;
+    c = br.data[br.pos++];
+    if (c != 0) {
+      br.pending_marker = c;
+      return;
+    }
+  }
+  br.pos = br.size;
+  br.pending_marker = 0xD9;
+}
+
+// jdhuff.c process_restart() + jdmarker.c read_restart_marker() with the
+// default jpeg_resync_to_restart() policy, tracking the expected RSTn —
+// this is what lets a decode resynchronize after a corrupted restart row
+// exactly like libjpeg (the row decodes to deterministic garbage, later
+// rows recover bit-identically).
+void process_restart(BitReader& br, int& next_restart_num) {
+  br.discard_bits();
+  if (br.pending_marker == 0) next_marker(br);
+  if (br.pending_marker == 0xD0 + next_restart_num) {
+    br.pending_marker = 0;  // normal case: swallow the marker
+  } else {
+    int desired = next_restart_num;
+    for (;;) {
+      int marker = br.pending_marker;
+      int action;
+      if (marker < 0xC0) {
+        action = 2;  // invalid marker: skip it
+      } else if (marker < 0xD0 || marker > 0xD7) {
+        action = 3;  // valid non-restart marker (e.g. EOI): stop consuming
+      } else if (marker == 0xD0 + ((desired + 1) & 7) ||
+                 marker == 0xD0 + ((desired + 2) & 7)) {
+        action = 3;  // one of the next two expected: assume RSTn was lost
+      } else if (marker == 0xD0 + ((desired - 1) & 7) ||
+                 marker == 0xD0 + ((desired - 2) & 7)) {
+        action = 2;  // a prior restart: advance past the duplicate
+      } else {
+        action = 1;  // the desired restart (or too far away): take it
+      }
+      if (action == 1) {
+        br.pending_marker = 0;
+        break;
+      }
+      if (action == 2) {
+        next_marker(br);
+        continue;
+      }
+      break;  // action 3: return without discarding the marker
+    }
+  }
+  next_restart_num = (next_restart_num + 1) & 7;
+  br.insufficient = false;  // jdhuff.c: insufficient_data = FALSE
+}
+
+// jpeg_make_d_derived_tbl's stream-rejecting checks (jdhuff.c): the
+// canonical code space must not overflow any length (no code of all
+// ones), and DC tables may only carry symbols 0..15; violations reject
+// the stream (JERR_BAD_HUFF_TABLE).
+bool validate_dec_table(const uint8_t* bits, const uint8_t* vals,
+                        bool is_dc) {
+  int code = 0, k = 0;
+  for (int len = 1; len <= 16; len++) {
+    code += bits[len - 1];
+    if (code >= (1 << len)) return false;
+    k += bits[len - 1];
+    code <<= 1;
+  }
+  if (k > 256) return false;
+  if (is_dc) {
+    for (int i = 0; i < k; i++) {
+      if (vals[i] > 15) return false;
+    }
+  }
+  return true;
+}
+
 inline int huff_extend(int v, int s) {
   return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
 }
 
+// Huffman-decode one symbol, bit-exact to jdhuff.c HUFF_DECODE +
+// jpeg_huff_decode on corrupt streams too: an invalid code consumes
+// exactly 17 bits and yields symbol 0 (JWRN_HUFF_BAD_CODE), and requests
+// past a marker latch `insufficient` at libjpeg's request granularity
+// before being satisfied with zero bits.
 int decode_symbol(BitReader& br, const DecTable& t) {
-  uint32_t look = br.peek(10);
-  if (t.look_len[look]) {
-    br.skip(t.look_len[look]);
-    return t.look_sym[look];
+  if (br.nbits < 17) br.fill();
+  if (br.nbits >= 17) {  // the latch cannot fire within this symbol
+    uint32_t look = br.peek(10);
+    if (t.look_len[look]) {
+      br.skip(t.look_len[look]);
+      return t.look_sym[look];
+    }
+    int code = (int)br.peek(16);
+    for (int len = 11; len <= 16; len++) {
+      int c = code >> (16 - len);
+      if (t.maxcode[len] >= 0 && c <= t.maxcode[len] &&
+          c >= t.mincode[len]) {
+        br.skip(len);
+        return t.values[(t.valptr[len] + (c - t.mincode[len])) & 0xFF];
+      }
+    }
+    br.skip(17);
+    return 0;  // JWRN_HUFF_BAD_CODE: fake a zero, keep decoding
   }
-  // slow path: lengths 11..16
+  // tail path near a marker/EOF: walk bit-by-bit (T.81 Figure F.16) so
+  // the insufficient-data latch fires at exactly libjpeg's request
   int code = 0;
-  int len = 0;
-  code = (int)br.peek(16);
-  // walk lengths
-  int c = 0;
-  for (len = 1; len <= 16; len++) {
-    c = code >> (16 - len);
-    if (t.maxcode[len] >= 0 && c <= t.maxcode[len] && c >= t.mincode[len]) {
-      br.skip(len);
-      return t.values[t.valptr[len] + (c - t.mincode[len])];
+  for (int len = 1; len <= 16; len++) {
+    code = (code << 1) | (int)br.get_exact(1);
+    if (t.maxcode[len] >= 0 && code <= t.maxcode[len] &&
+        code >= t.mincode[len]) {
+      return t.values[(t.valptr[len] + (code - t.mincode[len])) & 0xFF];
     }
   }
-  return -1;  // invalid code
+  br.get_exact(1);  // 17th bit of the sentinel walk (jpeg_huff_decode)
+  return 0;
 }
 
 }  // namespace
@@ -934,53 +1072,69 @@ int64_t uhdr_decode_scan(const uint8_t* data, int64_t size,
   }
   const CompMeta* cm = (const CompMeta*)comp_meta;
 
-  BitReader br{data, size, 0, 0, 0, false};
+  // libjpeg parity: tables referenced by the scan must pass the derived-
+  // table validation or the stream is rejected (jpeg_make_d_derived_tbl);
+  // table ids outside 0..3 are JERR_NO_HUFF_TABLE (also guards dc_t[4]).
+  for (int ci = 0; ci < num_comps; ci++) {
+    if (cm[ci].dc_tbl < 0 || cm[ci].dc_tbl > 3 || cm[ci].ac_tbl < 0 ||
+        cm[ci].ac_tbl > 3) {
+      return -5;
+    }
+    if (!validate_dec_table(dc_bits + 16 * cm[ci].dc_tbl,
+                            dc_vals + 256 * cm[ci].dc_tbl, true) ||
+        !validate_dec_table(ac_bits + 16 * cm[ci].ac_tbl,
+                            ac_vals + 256 * cm[ci].ac_tbl, false)) {
+      return -5;
+    }
+  }
+
+  BitReader br{data, size, 0, 0, 0, 0, false};
   int last_dc[4] = {0, 0, 0, 0};
   int mcus_since_restart = 0;
+  int next_restart_num = 0;
 
   for (int my = 0; my < mcus_h; my++) {
     for (int mx = 0; mx < mcus_w; mx++) {
       if (restart_interval > 0 && mcus_since_restart == restart_interval) {
-        br.byte_align_and_sync();
-        // expect RSTn marker
-        if (br.pos + 1 < size && data[br.pos] == 0xFF &&
-            data[br.pos + 1] >= 0xD0 && data[br.pos + 1] <= 0xD7) {
-          br.pos += 2;
-        }
-        br.truncated = false;
+        process_restart(br, next_restart_num);
         mcus_since_restart = 0;
         for (int i = 0; i < 4; i++) last_dc[i] = 0;
       }
-      for (int ci = 0; ci < num_comps; ci++) {
-        const CompMeta& c = cm[ci];
-        const DecTable& dct = dc_t[c.dc_tbl];
-        const DecTable& act = ac_t[c.ac_tbl];
-        for (int by = 0; by < c.v; by++) {
-          for (int bx = 0; bx < c.h; bx++) {
-            int row = my * c.v + by;
-            int col = mx * c.h + bx;
-            int16_t* blk = out_coeffs[ci] + ((int64_t)row * c.bw + col) * 64;
-            int s = decode_symbol(br, dct);
-            if (s < 0) return -1;
-            int diff = s ? huff_extend((int)br.get(s), s) : 0;
-            last_dc[ci] += diff;
-            blk[0] = (int16_t)last_dc[ci];
-            int kk = 1;
-            while (kk < 64) {
-              int rs = decode_symbol(br, act);
-              if (rs < 0) return -1;
-              int r = rs >> 4, sz = rs & 15;
-              if (sz == 0) {
-                if (r == 15) {
-                  kk += 16;  // ZRL
-                  continue;
+      // jdhuff.c decode_mcu: once the data ran out, leave whole MCUs as
+      // zeroes (uniform gray) until a restart resets the latch
+      if (!br.insufficient) {
+        for (int ci = 0; ci < num_comps; ci++) {
+          const CompMeta& c = cm[ci];
+          const DecTable& dct = dc_t[c.dc_tbl];
+          const DecTable& act = ac_t[c.ac_tbl];
+          for (int by = 0; by < c.v; by++) {
+            for (int bx = 0; bx < c.h; bx++) {
+              int row = my * c.v + by;
+              int col = mx * c.h + bx;
+              int16_t* blk =
+                  out_coeffs[ci] + ((int64_t)row * c.bw + col) * 64;
+              int s = decode_symbol(br, dct);  // DC symbols 0..15 validated
+              int diff = s ? huff_extend((int)br.get_bits(s), s) : 0;
+              last_dc[ci] += diff;
+              blk[0] = (int16_t)last_dc[ci];
+              int kk = 1;
+              while (kk < 64) {
+                int rs = decode_symbol(br, act);
+                int r = rs >> 4, sz = rs & 15;
+                if (sz == 0) {
+                  if (r == 15) {
+                    kk += 16;  // ZRL
+                    continue;
+                  }
+                  break;  // EOB (bad-code fake zeros land here too)
                 }
-                break;  // EOB
+                kk += r;
+                // corrupt runs past the block clobber coefficient 63,
+                // matching libjpeg's extended jpeg_natural_order[] entries
+                blk[kk < 64 ? kk : 63] =
+                    (int16_t)huff_extend((int)br.get_bits(sz), sz);
+                kk++;
               }
-              kk += r;
-              if (kk > 63) return -1;
-              blk[kk] = (int16_t)huff_extend((int)br.get(sz), sz);
-              kk++;
             }
           }
         }
@@ -1021,12 +1175,29 @@ int64_t uhdr_decode_progressive_scan(
   const ScanComp* sc = (const ScanComp*)scan_meta;
   for (int i = 0; i < num_comps_scan; i++) {
     if (sc[i].idx < 0 || sc[i].idx >= num_comps_image) return -2;
+    // libjpeg parity (jdphuff.c start_pass_phuff_decoder): only the
+    // tables a scan actually uses are derived/validated — DC tables for
+    // a DC-first scan, the AC table for AC scans, nothing for DC refine
+    if (ss == 0 && ah == 0) {
+      if (sc[i].dc_tbl < 0 || sc[i].dc_tbl > 3 ||
+          !validate_dec_table(dc_bits + 16 * sc[i].dc_tbl,
+                              dc_vals + 256 * sc[i].dc_tbl, true)) {
+        return -5;
+      }
+    } else if (ss > 0) {
+      if (sc[i].ac_tbl < 0 || sc[i].ac_tbl > 3 ||
+          !validate_dec_table(ac_bits + 16 * sc[i].ac_tbl,
+                              ac_vals + 256 * sc[i].ac_tbl, false)) {
+        return -5;
+      }
+    }
   }
 
-  BitReader br{data, size, 0, 0, 0, false};
+  BitReader br{data, size, 0, 0, 0, 0, false};
   int pred[4] = {0, 0, 0, 0};
   uint32_t eobrun = 0;
   int mcus_since_restart = 0;
+  int next_restart_num = 0;
   const int p1 = 1 << al;
   const int m1 = -(1 << al);
 
@@ -1036,30 +1207,23 @@ int64_t uhdr_decode_progressive_scan(
   int total_w = interleaved ? mcus_w : sc[0].sbw;
   int total_h = interleaved ? mcus_h : sc[0].sbh;
 
-  auto restart_if_due = [&]() -> bool {
+  auto restart_if_due = [&]() {
     if (restart_interval > 0 && mcus_since_restart == restart_interval) {
-      br.byte_align_and_sync();
-      if (br.pos + 1 < br.size && br.data[br.pos] == 0xFF &&
-          br.data[br.pos + 1] >= 0xD0 && br.data[br.pos + 1] <= 0xD7) {
-        br.pos += 2;
-        br.truncated = false;
-      }
+      process_restart(br, next_restart_num);  // jdphuff.c process_restart
       for (int i = 0; i < 4; i++) pred[i] = 0;
       eobrun = 0;
       mcus_since_restart = 0;
     }
-    return true;
   };
 
   auto decode_dc_block = [&](int16_t* blk, int c) -> bool {
     if (ah == 0) {
       int s = decode_symbol(br, dc_t[sc[c].dc_tbl]);
-      if (s < 0 || s > 15) return false;
-      int diff = s ? huff_extend((int)br.get(s), s) : 0;
+      int diff = s ? huff_extend((int)br.get_bits(s), s) : 0;
       pred[c] += diff;
       blk[0] = (int16_t)(pred[c] * p1);
     } else {
-      if (br.get(1)) blk[0] = (int16_t)(blk[0] | p1);
+      if (br.get_bits(1)) blk[0] = (int16_t)(blk[0] | p1);
     }
     return true;
   };
@@ -1072,7 +1236,6 @@ int64_t uhdr_decode_progressive_scan(
     int k = ss;
     while (k <= se) {
       int rs = decode_symbol(br, ac_t[sc[0].ac_tbl]);
-      if (rs < 0) return false;
       int r = rs >> 4, s = rs & 15;
       if (s == 0) {
         if (r == 15) {
@@ -1080,12 +1243,14 @@ int64_t uhdr_decode_progressive_scan(
           continue;
         }
         eobrun = (1u << r) - 1;
-        if (r) eobrun += br.get(r);
+        if (r) eobrun += br.get_bits(r);
         break;
       }
       k += r;
-      if (k > se) return false;
-      blk[k] = (int16_t)(huff_extend((int)br.get(s), s) * p1);
+      // corrupt runs past the band clobber position min(k, 63), matching
+      // libjpeg's extended jpeg_natural_order[] entries (jdphuff.c)
+      blk[k < 64 ? k : 63] =
+          (int16_t)(huff_extend((int)br.get_bits(s), s) * p1);
       k++;
     }
     return true;
@@ -1093,7 +1258,7 @@ int64_t uhdr_decode_progressive_scan(
 
   auto refine_nonzero = [&](int16_t* blk, int k) {
     // correction bit for an already-nonzero coefficient (G.1.2.3)
-    if (br.get(1)) {
+    if (br.get_bits(1)) {
       if ((blk[k] & p1) == 0) {
         blk[k] = (int16_t)(blk[k] + (blk[k] >= 0 ? p1 : m1));
       }
@@ -1108,19 +1273,19 @@ int64_t uhdr_decode_progressive_scan(
     if (eobrun == 0) {
       while (k <= se) {
         int rs = decode_symbol(br, ac_t[sc[0].ac_tbl]);
-        if (rs < 0) return false;
         int r = rs >> 4, s = rs & 15;
         int newval = 0;
         if (s == 0) {
           if (r != 15) {
             eobrun = 1u << r;
-            if (r) eobrun += br.get(r);
+            if (r) eobrun += br.get_bits(r);
             break;
           }
           // r == 15: ZRL — skip 16 zero-history positions
         } else {
-          if (s != 1) return false;
-          newval = br.get(1) ? p1 : m1;
+          // jdphuff.c: s != 1 is only a JWRN_HUFF_BAD_CODE warning; the
+          // sign bit is read and the coefficient treated as size 1
+          newval = br.get_bits(1) ? p1 : m1;
         }
         while (k <= se) {
           if (blk[k] != 0) {
@@ -1130,7 +1295,9 @@ int64_t uhdr_decode_progressive_scan(
           }
           k++;
         }
-        if (newval && k <= se) blk[k] = (int16_t)newval;
+        // on corrupt data k may run past the band; libjpeg still writes
+        // the new coefficient via the extended natural-order table
+        if (newval) blk[k < 64 ? k : 63] = (int16_t)newval;
         k++;
       }
     }
@@ -1146,29 +1313,33 @@ int64_t uhdr_decode_progressive_scan(
 
   for (int my = 0; my < total_h; my++) {
     for (int mx = 0; mx < total_w; mx++) {
-      if (!restart_if_due()) return -4;
-      if (interleaved) {
-        for (int c = 0; c < num_comps_scan; c++) {
-          const CompMeta& m = cm[sc[c].idx];
-          for (int by = 0; by < m.v; by++) {
-            for (int bx = 0; bx < m.h; bx++) {
-              int row = my * m.v + by, col = mx * m.h + bx;
-              int16_t* blk = coeffs[sc[c].idx] + ((int64_t)row * m.bw + col) * 64;
-              if (ss == 0) {
-                if (!decode_dc_block(blk, c)) return -3;
+      restart_if_due();
+      // jdphuff.c: if we've run out of data, don't modify the MCU
+      if (!br.insufficient) {
+        if (interleaved) {
+          for (int c = 0; c < num_comps_scan; c++) {
+            const CompMeta& m = cm[sc[c].idx];
+            for (int by = 0; by < m.v; by++) {
+              for (int bx = 0; bx < m.h; bx++) {
+                int row = my * m.v + by, col = mx * m.h + bx;
+                int16_t* blk =
+                    coeffs[sc[c].idx] + ((int64_t)row * m.bw + col) * 64;
+                if (ss == 0) {
+                  if (!decode_dc_block(blk, c)) return -3;
+                }
               }
             }
           }
-        }
-      } else {
-        const CompMeta& m = cm[sc[0].idx];
-        int16_t* blk = coeffs[sc[0].idx] + ((int64_t)my * m.bw + mx) * 64;
-        if (ss == 0) {
-          if (!decode_dc_block(blk, 0)) return -3;
-        } else if (ah == 0) {
-          if (!decode_ac_first(blk)) return -3;
         } else {
-          if (!decode_ac_refine(blk)) return -3;
+          const CompMeta& m = cm[sc[0].idx];
+          int16_t* blk = coeffs[sc[0].idx] + ((int64_t)my * m.bw + mx) * 64;
+          if (ss == 0) {
+            if (!decode_dc_block(blk, 0)) return -3;
+          } else if (ah == 0) {
+            if (!decode_ac_first(blk)) return -3;
+          } else {
+            if (!decode_ac_refine(blk)) return -3;
+          }
         }
       }
       mcus_since_restart++;

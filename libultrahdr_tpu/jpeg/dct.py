@@ -161,16 +161,33 @@ def forward_plane(plane_u8, qtable_natural):
     return jnp.take(flat, jnp.asarray(ZIGZAG_ORDER), axis=-1)
 
 
+def range_limit(sample):
+    """libjpeg's post-IDCT range_limit table (jdmaster.c
+    prepare_range_limit_table) as a closed form over `sample` = IDCT
+    output + 128: index m = sample & RANGE_MASK(1023), then
+    m<256 -> m, m<640 -> 255, else 0.  Identical to clip(0,255) for
+    in-range samples; on corrupt streams whose IDCT outputs leave
+    [-128, 511] it reproduces libjpeg's wrap behavior exactly (mapping
+    verified empirically against libjpeg-turbo's C islow across all
+    1024 residues, four quant scales, zero conflicts)."""
+    m = sample & 1023  # two's-complement & == mod 1024 for negatives too
+    return jnp.where(m < 256, m, jnp.where(m < 640, 255, 0))
+
+
 def inverse_plane(zz_coeffs, qtable_natural, out_h: int, out_w: int):
     """(bh, bw, 64) int16 zigzag coeffs -> uint8 (out_h, out_w) plane.
 
-    Bit-identical to libjpeg's islow decode (idct8x8_islow), so the XLA
-    general/device engines reproduce the native host engine and the
-    reference binary exactly at the YCbCr-plane level."""
+    Bit-identical to libjpeg's islow decode (idct8x8_islow + the
+    range_limit wrap table), so the XLA general/device engines reproduce
+    the native host engine and the reference binary exactly at the
+    YCbCr-plane level — including on corrupt entropy data (the decode
+    differential-fuzz oracle runs the reference with JSIMD_FORCENONE=1,
+    since libjpeg-turbo's own SIMD IDCT diverges from its C islow on
+    out-of-range coefficients)."""
     nat = jnp.take(zz_coeffs, jnp.asarray(INV_ZIGZAG), axis=-1)
     deq = nat.astype(jnp.int32) * jnp.asarray(
         qtable_natural, jnp.int32).reshape(64)
     blocks = deq.reshape(*deq.shape[:-1], 8, 8)
     spatial = idct8x8_islow(blocks) + 128
-    plane = unblockify(jnp.clip(spatial, 0, 255).astype(jnp.uint8))
+    plane = unblockify(range_limit(spatial).astype(jnp.uint8))
     return plane[:out_h, :out_w]

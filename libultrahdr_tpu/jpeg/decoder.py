@@ -142,6 +142,9 @@ def parse_jpeg(data: bytes, parse_only: bool = False) -> JpegInfo:
             q = 0
             while q < len(payload):
                 pq, tq = payload[q] >> 4, payload[q] & 15
+                if tq > 3:  # jdmarker.c get_dqt: JERR_DQT_INDEX
+                    raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                    f"bad DQT table index {tq}")
                 if q + 1 + (128 if pq else 64) > len(payload):
                     raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
                                     "truncated DQT segment")
@@ -159,8 +162,14 @@ def parse_jpeg(data: bytes, parse_only: bool = False) -> JpegInfo:
             q = 0
             while q < len(payload):
                 tc, th = payload[q] >> 4, payload[q] & 15
+                if tc > 1 or th > 3:  # jdmarker.c get_dht: JERR_DHT_INDEX
+                    raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                    f"bad DHT index Tc={tc} Th={th}")
                 bits = list(payload[q + 1:q + 17])
                 nv = sum(bits)
+                if nv > 256:  # jdmarker.c get_dht: JERR_BAD_HUFF_TABLE
+                    raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                                    f"DHT symbol count {nv} > 256")
                 if len(bits) < 16 or q + 17 + nv > len(payload):
                     raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
                                     "truncated DHT segment")
@@ -236,12 +245,21 @@ def _validate(info: JpegInfo):
     if info.num_components not in (1, 3):
         raise unsupported(f"unsupported component count {info.num_components}")
     for c in info.components:
-        if c.qtbl not in info.qtables:
-            raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
-                            f"component references missing quant table "
-                            f"{c.qtbl}")
+        require_qtable(info, c)
         if not (1 <= c.h <= 4 and 1 <= c.v <= 4):
             raise unsupported(f"bad sampling factors {c.h}x{c.v}")
+
+
+def require_qtable(info: JpegInfo, c):
+    """libjpeg parity (jddctmgr.c start_pass: JERR_NO_QUANT_TABLE) — a
+    component whose quantization table was never defined is rejected when
+    decode begins, not at header parse (jpeg_read_header accepts it)."""
+    q = info.qtables.get(c.qtbl)
+    if q is None:
+        raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                        f"component references missing quant table "
+                        f"{c.qtbl}")
+    return q
 
 
 def get_output_sampling_format(info: JpegInfo) -> ImgFmt:
@@ -316,7 +334,7 @@ def decode_to_planes(data: bytes, info: JpegInfo | None = None,
             ac_tables, info.restart_interval)
     planes = []
     for i, c in enumerate(info.components):
-        q = info.qtables[c.qtbl]
+        q = require_qtable(info, c)
         # stored plane dims: ceil(w*h_i/hmax) x ceil(h*v_i/vmax)
         pw = -(-info.width * c.h // hmax)
         ph = -(-info.height * c.v // vmax)

@@ -525,6 +525,13 @@ def decode_progressive_scan(data: bytes, coeff_arrays, comps, scan_comps,
     comps: per image component dicts {h, v} (arrays are MCU padded);
     scan_comps: [(comp_index, dc_tbl, ac_tbl, sbw, sbh), ...]."""
     lib = get_lib()
+    # only the tables the scan uses must exist (jdphuff.c start_pass:
+    # DC-first needs DC tables, AC scans the AC table, DC refine none)
+    for sc in scan_comps:
+        if ss == 0 and ah == 0:
+            _require_table(dc_tables, sc[1], "DC")
+        elif ss > 0:
+            _require_table(ac_tables, sc[2], "AC")
     n = len(coeff_arrays)
     ptrs = (ctypes.c_void_p * n)(*[a.ctypes.data for a in coeff_arrays])
     meta = np.zeros((n, 6), np.int32)
@@ -545,10 +552,23 @@ def decode_progressive_scan(data: bytes, coeff_arrays, comps, scan_comps,
                         f"progressive scan decode failed: {rc}")
 
 
+def _require_table(tables, idx: int, kind: str):
+    """libjpeg parity: a scan referencing an absent or out-of-range table
+    is rejected (jdhuff.c jpeg_make_d_derived_tbl, JERR_NO_HUFF_TABLE)."""
+    if not (0 <= idx <= 3) or tables[idx] is None:
+        from ..errors import UhdrError, UhdrErrorCode
+        raise UhdrError(UhdrErrorCode.UHDR_CODEC_ERROR,
+                        f"scan references missing {kind} huffman table "
+                        f"{idx}")
+
+
 def decode_scan(data: bytes, comps, mcus_w: int, mcus_h: int, dc_tables,
                 ac_tables, restart_interval: int = 0):
     """Returns list of (bh, bw, 64) int16 coefficient arrays (MCU-padded)."""
     lib = get_lib()
+    for c in comps:
+        _require_table(dc_tables, c["dc_tbl"], "DC")
+        _require_table(ac_tables, c["ac_tbl"], "AC")
     n = len(comps)
     outs = []
     for c in comps:
