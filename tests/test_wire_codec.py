@@ -177,6 +177,22 @@ def _rgbaf16_img(seed=41):
 def test_rgb_wire_byte_invisible(monkeypatch, make_img):
     """RGB-input uploads through the per-channel delta wire produce
     byte-identical JPEG_R files to the raw upload path."""
+    # Persistent-cache OFF for this test: XLA CPU's executable.serialize()
+    # of the raw-fallback rgb program crashes (SIGSEGV/SIGABRT inside XLA)
+    # when the compile happens late in a long-lived process — observed
+    # twice at this exact test in cold-cache full-suite runs.  Skipping
+    # the persistent cache here costs one fresh ~15 s compile per run and
+    # removes the crash deterministically (in-process jit caching is
+    # unaffected).
+    import jax
+    jax.config.update("jax_enable_compilation_cache", False)
+    try:
+        _run_rgb_wire_byte_invisible(monkeypatch, make_img)
+    finally:
+        jax.config.update("jax_enable_compilation_cache", True)
+
+
+def _run_rgb_wire_byte_invisible(monkeypatch, make_img):
     img = make_img()
     jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
                preset=EncPreset.REALTIME)
