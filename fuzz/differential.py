@@ -157,7 +157,7 @@ def ref_probe_accepts(lib, data: bytes) -> bool:
         comp = _Compressed()
         comp.data = ctypes.cast(buf, ctypes.c_void_p)
         comp.data_sz = comp.capacity = len(data)
-        comp.cg = comp.ct = comp.range = 0
+        comp.cg = comp.ct = comp.range = -1      # UNSPECIFIED, like decode
         err = lib.uhdr_dec_set_image(dec, ctypes.byref(comp))
         if err.error_code != 0:
             return False

@@ -289,19 +289,18 @@ def pack_vw_wire(y_plane: np.ndarray, uv_plane: np.ndarray):
     return buf, ("vw", nwords)
 
 
-def _vw_decode_planes(buf, h: int, w: int):
-    """Device half: width-array cumsum -> per-group payload offsets, 12
-    masked gathers + shift-and un-slicing, then the same two cumsums that
-    undo the 2D predictor (uhdr_resid2d's exact conventions)."""
-    n_y, n_uv = h * w, (h // 2) * w
-    gy, guv, wyw, wuvw = _vw_header_words(h, w)
-    ww = buf[:wyw + wuvw]
-    wa8 = jnp.stack([(ww >> jnp.uint32(4 * j)) & jnp.uint32(15)
-                     for j in range(8)], axis=1).astype(jnp.int32)
-    wa = jnp.concatenate([wa8[:wyw].reshape(-1)[:gy],
-                          wa8[wyw:].reshape(-1)[:guv]])
+def _vw_widths(ww_words) -> jnp.ndarray:
+    """u32 width words -> flat per-group u4 width array (i32)."""
+    return jnp.stack([(ww_words >> jnp.uint32(4 * j)) & jnp.uint32(15)
+                      for j in range(8)],
+                     axis=1).astype(jnp.int32).reshape(-1)
+
+
+def _vw_unslice(wa, payload) -> jnp.ndarray:
+    """Per-group widths + variable-stride payload -> (G*32,) i32
+    residuals: width cumsum -> payload offsets, _VW_MAXW masked gathers +
+    shift-and un-slicing, bias subtraction."""
     offs = jnp.cumsum(wa) - wa
-    payload = buf[wyw + wuvw:]
     idx = offs[:, None] + jnp.arange(_VW_MAXW, dtype=jnp.int32)[None, :]
     wordsg = jnp.take(payload, jnp.clip(idx, 0, payload.shape[0] - 1))
     wordsg = jnp.where(
@@ -313,8 +312,21 @@ def _vw_decode_planes(buf, h: int, w: int):
         s = s | (((wordsg[:, b:b + 1] >> lanes) & 1) << b).astype(jnp.int32)
     bias = jnp.where(wa > 0,
                      jnp.left_shift(1, jnp.maximum(wa - 1, 0)), 0)
-    d = s - bias[:, None]
-    flat = d.reshape(-1)
+    return (s - bias[:, None]).reshape(-1)
+
+
+def _vw_decode_planes(buf, h: int, w: int):
+    """Device half: width-array cumsum -> per-group payload offsets, 12
+    masked gathers + shift-and un-slicing, then the same two cumsums that
+    undo the 2D predictor (uhdr_resid2d's exact conventions)."""
+    n_y, n_uv = h * w, (h // 2) * w
+    gy, guv, wyw, wuvw = _vw_header_words(h, w)
+    ww = buf[:wyw + wuvw]
+    wa8 = jnp.stack([(ww >> jnp.uint32(4 * j)) & jnp.uint32(15)
+                     for j in range(8)], axis=1).astype(jnp.int32)
+    wa = jnp.concatenate([wa8[:wyw].reshape(-1)[:gy],
+                          wa8[wyw:].reshape(-1)[:guv]])
+    flat = _vw_unslice(wa, buf[wyw + wuvw:])
 
     def undelta(dd, ph, uv_interleaved):
         if uv_interleaved:
@@ -344,6 +356,38 @@ def _fused_api0_p010_vw(buf, *, h: int, w: int, cg: ColorGamut,
                                  multichannel=multichannel, gamma=gamma,
                                  quality=quality, map_quality=map_quality,
                                  use_base_cg=use_base_cg)
+
+
+def pack_vw_chan(ch: np.ndarray):
+    """Variable-width group wire for ONE u16 channel whose values fit 10
+    bits in the LOW bits (RGBA1010102 channels; smooth f16 bit patterns
+    also fit).  Layout [widths u4][payload], bucket-padded.  Returns the
+    u32 buffer, or None when any 32-group's residual width exceeds the u4
+    field (wide content -> the caller's rung ladder / raw fallback)."""
+    h, w = ch.shape
+    g = -(-(h * w) // 32)
+    ww_n = -(-g // 8)
+    wwords = np.zeros(ww_n, np.uint32)
+    payload = np.empty(g * _VW_MAXW, np.uint32)
+    nw = native.pack_vw_into(ch, False, wwords, payload, shift=0)
+    if nw is None:
+        return None
+    nwords = -(-(ww_n + nw) // _VW_BUCKET) * _VW_BUCKET
+    buf = np.zeros(nwords, np.uint32)
+    buf[:ww_n] = wwords
+    buf[ww_n:ww_n + nw] = payload[:nw]
+    return buf
+
+
+def _vw_decode_chan(buf, h: int, w: int):
+    """Device half of pack_vw_chan: exact (h, w) u16 channel."""
+    n = h * w
+    g = -(-n // 32)
+    ww_n = -(-g // 8)
+    wa = _vw_widths(buf[:ww_n])[:g]
+    flat = _vw_unslice(wa, buf[ww_n:])
+    t = jnp.cumsum(flat[:n].reshape(h, w), axis=1)
+    return (jnp.cumsum(t, axis=0) + 512).astype(jnp.uint16)
 
 
 def _pack_wire_auto(y_plane: np.ndarray, uv_plane: np.ndarray):
@@ -540,7 +584,7 @@ _RGB_ESC = 8192
 # (12 MP: 9.6 MB vs 19/28 MB at the old 4/6-bit entry rungs, vs 50/100 MB
 # raw) — escape overflow steps down rung by rung, finally to raw
 _RGB_LADDERS = {ImgFmt.RGBA1010102: (2, 3, 4, 6),
-                ImgFmt.RGBAF16: (2, 3, 4, 6, 8)}
+                ImgFmt.RGBAF16: (2, 3, 4, 6, 8, 10, 12)}
 
 
 def _rgb_wire_layout(h: int, w: int, bits: int):
@@ -679,7 +723,10 @@ def _fused_api0_rgb_wire_v2(b0, b1, b2, *, fmt: ImgFmt, h: int, w: int,
                             multichannel: bool, gamma: float, quality: int,
                             map_quality: int, use_base_cg: bool,
                             bits3: tuple, alpha: int):
-    chans = [_decode_rgb_chan(b, h, w, bits)
+    # bits==0 marks a variable-width group wire channel (pack_vw_chan);
+    # any other value is a fixed rung of the escape ladder.
+    chans = [_vw_decode_chan(b, h, w) if bits == 0
+             else _decode_rgb_chan(b, h, w, bits)
              for b, bits in zip((b0, b1, b2), bits3)]
     if fmt == ImgFmt.RGBA1010102:
         r, g, b = [c.astype(jnp.uint32) for c in chans]
@@ -2273,14 +2320,20 @@ def encode_api0_rgb_fused(jr, img, quality: int, exif: bytes | None) -> bytes:
     if alpha is not None:
         bufs, bits3 = [], []
         for ch in chans:
-            buf = None
-            for bits in _RGB_LADDERS[fmt]:
-                buf = pack_rgb_chan(ch, bits)
-                if buf is not None:
-                    bits3.append(bits)
-                    break
+            # the vw group wire sizes itself to the content and never
+            # overflows for 10-bit channels (1010102 always rides it;
+            # photo content used to overflow every fixed rung straight
+            # to a raw upload); wide content (noisy f16 bit patterns)
+            # falls back to the escape-ladder rungs, then raw.
+            buf, bits = pack_vw_chan(ch), 0
+            if buf is None:
+                for bits in _RGB_LADDERS[fmt]:
+                    buf = pack_rgb_chan(ch, bits)
+                    if buf is not None:
+                        break
             if buf is None:
                 break
+            bits3.append(bits)
             bufs.append(jax.device_put(buf))    # async: rides the link now
         if len(bufs) == 3:
             out = _fused_api0_rgb_wire_v2(

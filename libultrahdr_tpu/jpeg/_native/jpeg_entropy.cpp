@@ -454,7 +454,12 @@ int64_t uhdr_pack_vw(const uint16_t* in, int64_t rows, int64_t cols,
                      int uv_interleaved, int shift, int32_t base,
                      uint32_t* width_words, uint32_t* payload,
                      int64_t payload_cap) {
-  if (shift < 3 || shift > 6) return -2;
+  // shift>=3 keeps every width <=12 by construction (13-bit samples).
+  // shift<3 is allowed for callers whose samples are <=10 bits in the
+  // LOW bits (e.g. RGBA1010102 channels at shift 0); content that would
+  // need a width >12 (the u4 field / payload budget cap) returns -2 and
+  // the caller falls back to another wire.
+  if (shift < 0 || shift > 6) return -2;
   const int64_t n = rows * cols;
   const int64_t G = (n + 31) / 32;
   std::vector<int16_t> res((size_t)(G * 32), 0);
@@ -493,6 +498,7 @@ int64_t uhdr_pack_vw(const uint16_t* in, int64_t rows, int64_t cols,
       w = 1;
       while (m >= (1 << (w - 1))) w++;
     }
+    if (w > 12) return -2;      // content too wide for the u4 width field
     width_words[g >> 3] |= (uint32_t)w << (4 * (g & 7));
     if (!w) continue;
     if (off + w > payload_cap) return -1;

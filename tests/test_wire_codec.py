@@ -197,6 +197,7 @@ def _run_rgb_wire_byte_invisible(monkeypatch, make_img):
     jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
                preset=EncPreset.REALTIME)
     via_wire = jr.encode_api0(img, quality=92)
+    monkeypatch.setattr(fused, "pack_vw_chan", lambda *a, **k: None)
     monkeypatch.setattr(fused, "pack_rgb_chan", lambda *a, **k: None)
     via_raw = jr.encode_api0(img, quality=92)
     assert via_wire == via_raw
@@ -233,7 +234,8 @@ def test_rgb_wire_v2_mixed_rungs():
                preset=EncPreset.REALTIME)
     via_wire = jr.encode_api0(img, quality=92)
     import unittest.mock as mock
-    with mock.patch.object(fused, "pack_rgb_chan", lambda *a, **k: None):
+    with mock.patch.object(fused, "pack_vw_chan", lambda *a, **k: None), \
+            mock.patch.object(fused, "pack_rgb_chan", lambda *a, **k: None):
         via_raw = jr.encode_api0(img, quality=92)
     assert via_wire == via_raw
 
@@ -907,3 +909,57 @@ def test_vw_encode_byte_identical_to_ladder(monkeypatch):
     monkeypatch.setenv("UHDR_TPU_WIRE", "1d7")
     b = fused.encode_api0_p010_pipelined(jr, [img])[0]
     assert a == b
+
+
+# --- per-channel vw wire (RGB inputs; pack_vw_chan -> _vw_decode_chan) ----
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("dims", [(H, W), (31, 50)])
+def test_vw_chan_roundtrip(dims):
+    h, w = dims
+    rs = np.random.RandomState(7)
+    for name, ch in [
+        ("smooth", (_smooth_plane(h, w, seed=4) >> 6)),
+        ("noise10", rs.randint(0, 1024, (h, w)).astype(np.uint16)),
+        ("zeros", np.zeros((h, w), np.uint16)),
+        ("max", np.full((h, w), 1023, np.uint16)),
+    ]:
+        buf = fused.pack_vw_chan(ch)
+        assert buf is not None, name
+        out = np.asarray(fused._vw_decode_chan(jnp.asarray(buf), h, w))
+        np.testing.assert_array_equal(out, ch, err_msg=name)
+
+
+@pytest.mark.smoke
+def test_vw_chan_rejects_wide_content():
+    # 16-bit noise needs residual widths >12: the packer must refuse
+    # (the encode path then falls to the escape ladder / raw upload)
+    rs = np.random.RandomState(8)
+    wide = rs.randint(0, 65536, (H, W)).astype(np.uint16)
+    assert fused.pack_vw_chan(wide) is None
+
+
+def test_rgb_vw_wire_byte_invisible_noisy_channels():
+    """Photo-like RGB content whose channels overflow the fixed rung
+    ladder rides the per-channel vw wire; the encode stays byte-identical
+    to the raw upload path."""
+    import unittest.mock as mock
+    rs = np.random.RandomState(12)
+    base = (np.cumsum(rs.randint(-3, 4, (H, W)), axis=1).cumsum(axis=0)
+            % 512).astype(np.uint32)
+    noisy = np.clip(base + rs.randint(-120, 121, (H, W)), 0,
+                    1023).astype(np.uint32)
+    p = np.ascontiguousarray(base | (noisy << 10) | ((1023 - base) << 20)
+                             | np.uint32(0x3) << 30)
+    img = RawImage(ImgFmt.RGBA1010102, ColorGamut.BT2100, ColorTransfer.HLG,
+                   ColorRange.FULL, W, H, [p])
+    chans, alpha = fused._split_rgb_channels(p, ImgFmt.RGBA1010102)
+    assert all(fused.pack_vw_chan(c) is not None for c in chans)
+    jr = JpegR(map_dimension_scale_factor=2, use_multi_channel_gainmap=False,
+               preset=EncPreset.REALTIME)
+    via_vw = jr.encode_api0(img, quality=92)
+    with mock.patch.object(fused, "pack_vw_chan", lambda *a, **k: None), \
+            mock.patch.object(fused, "pack_rgb_chan", lambda *a, **k: None):
+        via_raw = jr.encode_api0(img, quality=92)
+    assert via_vw == via_raw
