@@ -758,8 +758,10 @@ _API1_ESC = 8192    # per-plane escape capacity (photographic: <1000)
 
 
 def _api1_wire_ladder():
-    """UHDR_TPU_WIRE_API1: 'auto' (ladder, default), 'raw' (disable), or
-    'hNsM' (one pinned rung + raw fallback)."""
+    """UHDR_TPU_WIRE_API1: 'auto' (vw first, then the rung ladder —
+    default), 'vw' (vw only), 'raw' (disable all wires), or 'hNsM' (one
+    pinned rung + raw fallback).  vw dispatch happens in
+    encode_api1_fused; this returns the ladder rungs to try after it."""
     import os
     m = os.environ.get("UHDR_TPU_WIRE_API1", "auto").strip().lower()
     if m == "raw":
@@ -859,6 +861,105 @@ def _fused_api1_p010_yuv420_wire(buf, *, h: int, w: int,
     """_fused_api1 on the five-plane delta-wire upload (~2.5x fewer
     bytes than the raw P010 + I420 planes)."""
     hy, huv, sdr = _decode_api1_wire(buf, h, w, hb, sb)
+    return _fused_api1(
+        hy, huv, *sdr, hdr_fmt=ImgFmt.P010, sdr_fmt=ImgFmt.YUV420, h=h,
+        w=w, hdr_cg=hdr_cg, sdr_cg=sdr_cg, ct=ct, rng=rng, scale=scale,
+        multichannel=multichannel, gamma=gamma, quality=quality,
+        map_quality=map_quality, use_base_cg=use_base_cg,
+        use_luminance=use_luminance, one_pass=one_pass)
+
+
+# API-1 on the variable-width group wire: all five planes (HDR P010 y+uv,
+# SDR I420 y/u/v) as per-group exact-width bit slices in ONE buffer —
+# 8-bit SDR planes and 10-bit HDR planes both always fit (widths <=12),
+# so photographic API-1 content no longer walks the escape ladder to raw.
+
+def _api1_vw_dims(h: int, w: int):
+    ns = [h * w, (h // 2) * w, h * w, (h // 2) * (w // 2),
+          (h // 2) * (w // 2)]
+    gs = [-(-n // 32) for n in ns]
+    wws = [-(-g // 8) for g in gs]
+    return ns, gs, wws
+
+
+def pack_api1_vw_wire(hdr_y: np.ndarray, hdr_uv: np.ndarray, sdr_planes):
+    """Host half: five vw-packed planes in one u32 buffer
+    [widths x5][payloads x5], bucket-padded; None only on shape
+    mismatch (the planes themselves always fit)."""
+    h, w = hdr_y.shape
+    if hdr_uv.shape != (h // 2, w):
+        return None
+    ns, gs, wws = _api1_vw_dims(h, w)
+    specs = [(hdr_y, False, 6, 512), (hdr_uv, True, 6, 512)]
+    for p in sdr_planes:
+        specs.append((np.ascontiguousarray(p, np.uint16), False, 0, 128))
+    widths = [np.zeros(ww, np.uint32) for ww in wws]
+    payloads = [np.empty(g * _VW_MAXW, np.uint32) for g in gs]
+    counts = []
+    for i, (p, uv, sh, b) in enumerate(specs):
+        n = native.pack_vw_into(p, uv, widths[i], payloads[i],
+                                shift=sh, base=b)
+        if n is None:
+            return None
+        counts.append(n)
+    total = sum(wws) + sum(counts)
+    nwords = -(-total // _VW_BUCKET) * _VW_BUCKET
+    buf = np.zeros(nwords, np.uint32)
+    o = 0
+    for part in widths:
+        buf[o:o + part.size] = part
+        o += part.size
+    for pay, c in zip(payloads, counts):
+        buf[o:o + c] = pay[:c]
+        o += c
+    return buf
+
+
+def _decode_api1_vw(buf, h: int, w: int):
+    """Device half: exact (hdr_y, hdr_uv, [sdr_y, sdr_u, sdr_v])."""
+    ns, gs, wws = _api1_vw_dims(h, w)
+    off = 0
+    was = []
+    for ww, g in zip(wws, gs):
+        was.append(_vw_widths(buf[off:off + ww])[:g])
+        off += ww
+    flat = _vw_unslice(jnp.concatenate(was), buf[off:])
+
+    def undelta(dd, ph, pw, uv_interleaved, base):
+        if uv_interleaved:
+            t = jnp.cumsum(dd.reshape(ph, pw // 2, 2),
+                           axis=1).reshape(ph, pw)
+        else:
+            t = jnp.cumsum(dd.reshape(ph, pw), axis=1)
+        return jnp.cumsum(t, axis=0) + base
+
+    starts = np.cumsum([0] + [g * 32 for g in gs])
+    hy = (undelta(flat[starts[0]:starts[0] + ns[0]], h, w, False, 512)
+          .astype(jnp.uint16) << 6)
+    huv = (undelta(flat[starts[1]:starts[1] + ns[1]], h // 2, w, True, 512)
+           .astype(jnp.uint16) << 6)
+    sdr = []
+    for i, (ph, pw) in enumerate(((h, w), (h // 2, w // 2),
+                                  (h // 2, w // 2))):
+        s = starts[2 + i]
+        sdr.append(undelta(flat[s:s + ns[2 + i]], ph, pw, False,
+                           128).astype(jnp.uint8))
+    return hy, huv, sdr
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "h", "w", "hdr_cg", "sdr_cg", "ct", "rng", "scale", "multichannel",
+    "gamma", "quality", "map_quality", "use_base_cg", "use_luminance",
+    "one_pass"))
+def _fused_api1_p010_yuv420_vw(buf, *, h: int, w: int,
+                               hdr_cg: ColorGamut, sdr_cg: ColorGamut,
+                               ct: ColorTransfer, rng: ColorRange,
+                               scale: int, multichannel: bool,
+                               gamma: float, quality: int,
+                               map_quality: int, use_base_cg: bool,
+                               use_luminance: bool, one_pass: bool):
+    """_fused_api1 on the five-plane variable-width group wire."""
+    hy, huv, sdr = _decode_api1_vw(buf, h, w)
     return _fused_api1(
         hy, huv, *sdr, hdr_fmt=ImgFmt.P010, sdr_fmt=ImgFmt.YUV420, h=h,
         w=w, hdr_cg=hdr_cg, sdr_cg=sdr_cg, ct=ct, rng=rng, scale=scale,
@@ -2379,13 +2480,24 @@ def encode_api1_fused(jr, hdr, sdr, quality: int,
                   one_pass=one_pass)
     out = None
     if hdr_fmt == ImgFmt.P010 and sdr_fmt == ImgFmt.YUV420:
-        for hb, sb in _api1_wire_ladder():   # smallest wire that fits wins
-            wire = pack_api1_wire(hdr.planes[0], hdr.planes[1],
-                                  sdr.planes[:3], hb, sb)
+        # vw first (sizes itself to the content, always fits), unless the
+        # env pins a rung or disables wires; then the fixed-rung ladder.
+        import os
+        mode = os.environ.get("UHDR_TPU_WIRE_API1", "auto").strip().lower()
+        if mode in ("auto", "vw"):
+            wire = pack_api1_vw_wire(hdr.planes[0], hdr.planes[1],
+                                     sdr.planes[:3])
             if wire is not None:
-                out = _fused_api1_p010_yuv420_wire(jnp.asarray(wire),
-                                                   hb=hb, sb=sb, **common)
-                break
+                out = _fused_api1_p010_yuv420_vw(jnp.asarray(wire),
+                                                 **common)
+        if out is None and mode != "vw":
+            for hb, sb in _api1_wire_ladder():   # smallest fit wins
+                wire = pack_api1_wire(hdr.planes[0], hdr.planes[1],
+                                      sdr.planes[:3], hb, sb)
+                if wire is not None:
+                    out = _fused_api1_p010_yuv420_wire(
+                        jnp.asarray(wire), hb=hb, sb=sb, **common)
+                    break
     if out is None:                          # raw five-plane upload
         if hdr_fmt == ImgFmt.P010:
             hdr_a = jnp.asarray(hdr.planes[0])

@@ -368,7 +368,8 @@ def test_api1_wire_byte_invisible(monkeypatch, preset):
 
 def test_api1_wire_overflow_falls_back(monkeypatch):
     """Noise content overflows every rung's escape list; the encode must
-    silently take the raw upload and match it byte-for-byte."""
+    silently ride another transport (the vw wire fits any P010/I420
+    content; with wires disabled, raw) and match raw byte-for-byte."""
     rs = np.random.RandomState(9)
     y = (rs.randint(0, 1024, (H, W)).astype(np.uint16) << 6)
     uv = (rs.randint(0, 1024, (H // 2, W)).astype(np.uint16) << 6)
@@ -382,6 +383,26 @@ def test_api1_wire_overflow_falls_back(monkeypatch):
     via_auto = jr.encode_api1(hdr, sdr, quality=92)
     monkeypatch.setenv("UHDR_TPU_WIRE_API1", "raw")
     assert via_auto == jr.encode_api1(hdr, sdr, quality=92)
+
+
+@pytest.mark.smoke
+def test_api1_vw_wire_roundtrip():
+    """All five API-1 planes reconstruct exactly through the vw group
+    wire (HDR planes shift-6, SDR u8 planes shift-0/base-128), including
+    full-range noise that defeats every fixed rung."""
+    rs = np.random.RandomState(31)
+    y = (rs.randint(0, 1024, (H, W)).astype(np.uint16) << 6)
+    uv = (rs.randint(0, 1024, (H // 2, W)).astype(np.uint16) << 6)
+    sdr_planes = [rs.randint(0, 256, (H, W)).astype(np.uint8),
+                  rs.randint(0, 256, (H // 2, W // 2)).astype(np.uint8),
+                  rs.randint(0, 256, (H // 2, W // 2)).astype(np.uint8)]
+    buf = fused.pack_api1_vw_wire(y, uv, sdr_planes)
+    assert buf is not None
+    hy, huv, sp = fused._decode_api1_vw(jnp.asarray(buf), H, W)
+    np.testing.assert_array_equal(np.asarray(hy), y)
+    np.testing.assert_array_equal(np.asarray(huv), uv)
+    for got, want in zip(sp, sdr_planes):
+        np.testing.assert_array_equal(np.asarray(got), want)
 
 
 def test_api1_wire_ladder_parse(monkeypatch):
